@@ -1,0 +1,140 @@
+"""Gather-based image remap (the cv::remap workhorse of the reference).
+
+Every stage of the reference pipeline funnels through `cv::remap` with
+bicubic interpolation (ImageWarper.cpp:95-174, NovelView.cpp:174-224,
+TestRenderStereoPanorama.cpp). On TPU we express it as flattened gathers
+(`jnp.take`) + fused lerps: the warp fields are smooth so XLA's gather is
+bandwidth-bound and the arithmetic fuses into it.
+
+Conventions (matching OpenCV):
+- images are channels-first ``(..., C, H, W)`` float32;
+- ``coords`` is ``(..., 2, Ho, Wo)`` with coords[0] = x (column into W),
+  coords[1] = y (row into H), in source pixel units where integer
+  coordinate i samples pixel i exactly;
+- bicubic uses the Catmull-Rom-family kernel with a = -0.75 (OpenCV's
+  INTER_CUBIC), so outputs are comparable to the reference's renders;
+- border modes: "constant" (out-of-range samples 0 — the reference relies
+  on this to make unseen pixels transparent via (-1,-1) coords,
+  ImageWarper.cpp:179-196) and "wrap" (periodic in x, clamped in y — used
+  for equirect seam handling, BORDER_WRAP in ImageWarper.cpp:137).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["remap", "remap_bilinear", "remap_bicubic"]
+
+
+def _gather2d(img, iy, ix, border):
+    """img (C, H, W); iy/ix int32 (...,) -> (C, ...). Indices are folded
+    into range per the border mode; 'constant' validity is handled by the
+    caller through weights/masks."""
+    C, H, W = img.shape
+    if border == "wrap":
+        ix = jnp.mod(ix, W)
+        iy = jnp.clip(iy, 0, H - 1)
+    else:
+        ix = jnp.clip(ix, 0, W - 1)
+        iy = jnp.clip(iy, 0, H - 1)
+    flat = img.reshape(C, H * W)
+    idx = (iy * W + ix).reshape(-1)
+    out = jnp.take(flat, idx, axis=1)
+    return out.reshape((C,) + iy.shape)
+
+
+def _cubic_weights(t, a=-0.75):
+    """The 4 interpolation weights for fractional offset t in [0,1), taps at
+    offsets (-1, 0, 1, 2). Keys' cubic with free parameter a (OpenCV uses
+    a = -0.75)."""
+    # |s| in (0,1): (a+2)|s|^3 - (a+3)|s|^2 + 1 ; |s| in (1,2): a(|s|-1)(|s|-2)^2... use direct form
+    def k01(s):  # 0 <= s <= 1
+        return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+    def k12(s):  # 1 <= s <= 2
+        return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+    w0 = k12(t + 1.0)
+    w1 = k01(t)
+    w2 = k01(1.0 - t)
+    w3 = k12(2.0 - t)
+    return w0, w1, w2, w3
+
+
+def _remap_single(img, coords, interpolation, border):
+    C, H, W = img.shape
+    x = coords[0]
+    y = coords[1]
+
+    if interpolation == "bilinear":
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        taps = [
+            (iy0, ix0, (1 - tx) * (1 - ty)),
+            (iy0, ix0 + 1, tx * (1 - ty)),
+            (iy0 + 1, ix0, (1 - tx) * ty),
+            (iy0 + 1, ix0 + 1, tx * ty),
+        ]
+    elif interpolation == "bicubic":
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        wx = _cubic_weights(tx)
+        wy = _cubic_weights(ty)
+        taps = [
+            (iy0 + dy - 1, ix0 + dx - 1, wx[dx] * wy[dy])
+            for dy in range(4)
+            for dx in range(4)
+        ]
+    else:
+        raise ValueError(f"unknown interpolation: {interpolation}")
+
+    out = jnp.zeros((C,) + x.shape, dtype=img.dtype)
+    if border == "constant":
+        # a tap contributes only if it lands inside the image
+        for iy, ix, w in taps:
+            valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+            out = out + jnp.where(valid, w, 0.0) * _gather2d(img, iy, ix, border)
+    else:
+        for iy, ix, w in taps:
+            out = out + w * _gather2d(img, iy, ix, border)
+    return out
+
+
+@partial(jax.jit, static_argnames=("interpolation", "border"))
+def remap(img, coords, interpolation: str = "bicubic", border: str = "constant"):
+    """Resample ``img`` at ``coords``.
+
+    img: (..., C, H, W); coords: (..., 2, Ho, Wo) in (x, y) source pixels.
+    Leading batch dims of img and coords broadcast against each other
+    (vmapped). Returns (..., C, Ho, Wo).
+    """
+    img = jnp.asarray(img)
+    coords = jnp.asarray(coords)
+    ibatch = img.shape[:-3]
+    cbatch = coords.shape[:-3]
+    batch = jnp.broadcast_shapes(ibatch, cbatch)
+    img_b = jnp.broadcast_to(img, batch + img.shape[-3:])
+    coords_b = jnp.broadcast_to(coords, batch + coords.shape[-3:])
+    fn = lambda im, co: _remap_single(im, co, interpolation, border)
+    for _ in batch:
+        fn = jax.vmap(fn)
+    return fn(img_b, coords_b)
+
+
+def remap_bilinear(img, coords, border: str = "constant"):
+    return remap(img, coords, interpolation="bilinear", border=border)
+
+
+def remap_bicubic(img, coords, border: str = "constant"):
+    return remap(img, coords, interpolation="bicubic", border=border)
