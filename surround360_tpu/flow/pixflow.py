@@ -1,0 +1,519 @@
+"""TPU-native pyramidal patch-match optical flow.
+
+Rebuild of the reference's PixFlow estimator
+(surround360_render/source/optical_flow/PixFlow.h) with the same inputs,
+outputs, energy function, and pyramid/temporal contract — but a parallel
+inner loop. The reference runs two *sequential* raster sweeps per pyramid
+level, each pixel proposing its predecessor's flow then taking a numeric-
+gradient descent step (PixFlow.h:388-410). That is unvectorizable by
+construction, so here each level instead runs K data-parallel rounds of:
+
+  1. jump-flooding neighbor propagation: every pixel evaluates its own flow
+     against candidates shifted from 4 neighbors at offset d (d follows a
+     [4,2,1,1,...] schedule, so information travels ~2^k pixels in k rounds,
+     standing in for the raster sweep's unbounded reach — the pyramid
+     provides the long-range transport in both designs);
+  2. the same numeric-gradient descent step on the energy
+     (PixFlow.h:195-217), eps=0.001, step=gradientStepSize;
+
+with the reference's 5x5 median between "sweeps" (PixFlow.h:398,411),
+low-alpha flow diffusion (PixFlow.h:437-454), optional coarse-level
+direction-hinted brute-force search (PixFlow.h:298-342), and temporal
+regularization toward the previous frame weighted by a motion map
+(PixFlow.h:109-117,185-193).
+
+The energy matches PixFlow.h:493-534: gradient-constancy data term
+|grad I0(p) - grad I1(p + f)| (bilinear-extend sampling), smoothness
+toward a sigma=8 blurred flow, and per-axis magnitude regularizers.
+
+Everything is batched: images are (B, 4, H, W) RGBA in [0,1] and the flow
+(B, 2, H, W), so all 14 ring pairs x 2 directions run as one XLA program.
+All shapes are static per pyramid level; the level loop unrolls under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filters import median_filter
+from ..ops.resize import gaussian_blur, resize_bilinear, resize_cubic
+
+HINT_UNKNOWN = 0
+HINT_LEFT = 1
+HINT_RIGHT = 2
+HINT_DOWN = 3
+HINT_UP = 4
+
+# constants mirrored from PixFlow.h:37-49
+PYR_MIN_IMAGE_SIZE = 24
+GRAD_EPSILON = 0.001
+UPDATE_ALPHA_THRESHOLD = 0.9
+MEDIAN_BLUR_SIZE = 5
+PRE_BLUR_KSIZE = 5
+PRE_BLUR_SIGMA = 0.25
+FINAL_FLOW_BLUR_KSIZE = 3
+FINAL_FLOW_BLUR_SIGMA = 1.0
+GRADIENT_BLUR_KSIZE = 3
+GRADIENT_BLUR_SIGMA = 0.5
+BLURRED_FLOW_KSIZE = 15
+BLURRED_FLOW_SIGMA = 8.0
+
+
+class FlowParams(NamedTuple):
+    """Hyperparameters (OpticalFlowFactory.h:25-61) plus the TPU-side
+    propagation schedule."""
+
+    pyr_scale_factor: float = 0.9
+    smoothness_coef: float = 0.001
+    vertical_regularization_coef: float = 0.01
+    horizontal_regularization_coef: float = 0.01
+    gradient_step_size: float = 0.5
+    downscale_factor: float = 0.5
+    directional_regularization_coef: float = 0.0
+    use_directional_regularization: bool = False
+    search_max_percentage: int = 0  # pixflow_search_20 -> 20
+    # TPU reformulation knobs: two "sweeps", each = len(offsets) rounds
+    prop_offsets: tuple = (4, 2, 1)
+    use_probe_candidates: bool = False
+    min_image_size: int = PYR_MIN_IMAGE_SIZE
+
+
+def make_flow_params(name: str) -> FlowParams:
+    """Name -> params, mirroring makeOpticalFlowByName
+    (OpticalFlowFactory.h:23-64), plus a faster half-octave TPU preset."""
+    if name == "pixflow_low":
+        return FlowParams()
+    if name == "pixflow_search_20":
+        return FlowParams(search_max_percentage=20)
+    if name == "pixflow_tpu":
+        # half-octave pyramid: ~7x fewer levels than 0.9, with probe
+        # candidates so coarse init can escape the descent basin; quality
+        # validated by the Middlebury-style harness in tests/test_flow.py
+        return FlowParams(
+            pyr_scale_factor=0.5,
+            prop_offsets=(8, 4, 2, 1),
+            use_probe_candidates=True,
+            min_image_size=12,
+        )
+    raise ValueError(f"unrecognized flow algorithm name: {name}")
+
+
+# ---------------------------------------------------------------------------
+# small dense helpers
+# ---------------------------------------------------------------------------
+
+
+def _gather_hw(img, iy, ix):
+    """img (..., H, W), int indices (..., h, w); leading dims broadcast
+    (e.g. a (B, H, W) image indexed by (K, B, h, w) candidate coords)."""
+    H, W = img.shape[-2:]
+    out_hw = iy.shape[-2:]
+    lead = jnp.broadcast_shapes(img.shape[:-2], iy.shape[:-2])
+    img_b = jnp.broadcast_to(img, lead + (H, W))
+    iy = jnp.broadcast_to(iy, lead + out_hw)
+    ix = jnp.broadcast_to(ix, lead + out_hw)
+    flat_img = img_b.reshape(lead + (H * W,))
+    idx = (iy * W + ix).reshape(lead + (-1,))
+    out = jnp.take_along_axis(flat_img, idx, axis=-1)
+    return out.reshape(lead + out_hw)
+
+
+def _sample_bilinear_extend(img, x, y):
+    """Bilinear sample with clamp-to-[0, size-2] semantics, exactly like
+    getPixBilinear32FExtend (PixFlow.h:457-475). img (..., H, W); x/y same
+    shape as output."""
+    H, W = img.shape[-2:]
+    x = jnp.clip(x, 0.0, W - 2.0)
+    y = jnp.clip(y, 0.0, H - 2.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
+    f00 = _gather_hw(img, iy, ix)
+    f10 = _gather_hw(img, iy, ix + 1)
+    f01 = _gather_hw(img, iy + 1, ix)
+    f11 = _gather_hw(img, iy + 1, ix + 1)
+    return (
+        f00
+        + (f10 - f00) * tx
+        + (f01 - f00) * ty
+        + (f00 + f11 - f10 - f01) * tx * ty
+    )
+
+
+def _sobel_k1(img, axis):
+    """Sobel with ksize=1 ([-1, 0, 1], border replicate), matching
+    PixFlow.h:356-359."""
+    shifted_p = jnp.roll(img, -1, axis=axis)
+    shifted_m = jnp.roll(img, 1, axis=axis)
+    # replicate border: derivative uses clamped neighbors
+    if axis == -1:
+        shifted_p = shifted_p.at[..., -1].set(img[..., -1])
+        shifted_m = shifted_m.at[..., 0].set(img[..., 0])
+    else:
+        shifted_p = shifted_p.at[..., -1, :].set(img[..., -1, :])
+        shifted_m = shifted_m.at[..., 0, :].set(img[..., 0, :])
+    return shifted_p - shifted_m
+
+
+def _box5(img):
+    """5x5 box sum with zero padding (for patch SAD accumulations)."""
+    out = img
+    for axis in (-1, -2):
+        acc = out
+        for d in (1, 2):
+            z = jnp.zeros_like(out)
+            pos = jnp.roll(out, d, axis=axis)
+            neg = jnp.roll(out, -d, axis=axis)
+            if axis == -1:
+                pos = pos.at[..., :d].set(0)
+                neg = neg.at[..., -d:].set(0)
+            else:
+                pos = pos.at[..., :d, :].set(0)
+                neg = neg.at[..., -d:, :].set(0)
+            acc = acc + pos + neg
+        out = acc
+    return out
+
+
+# ---------------------------------------------------------------------------
+# energy function (PixFlow.h:493-534)
+# ---------------------------------------------------------------------------
+
+
+def _error_field(flow, ctx, params: FlowParams):
+    """Energy at every pixel for candidate ``flow`` (..., 2, H, W).
+    ``ctx`` holds I0x, I0y, I1x, I1y, blurred_flow, grid_x, grid_y."""
+    I0x, I0y, I1x, I1y, blurred_flow, gx, gy = ctx
+    H, W = I0x.shape[-2:]
+    mx = gx + flow[..., 0, :, :]
+    my = gy + flow[..., 1, :, :]
+    i1x = _sample_bilinear_extend(I1x, mx, my)
+    i1y = _sample_bilinear_extend(I1y, mx, my)
+    data = jnp.sqrt((I0x - i1x) ** 2 + (I0y - i1y) ** 2)
+    fdiff = blurred_flow - flow
+    smooth = jnp.sqrt(fdiff[..., 0, :, :] ** 2 + fdiff[..., 1, :, :] ** 2)
+    err = (
+        data
+        + smooth * params.smoothness_coef
+        + params.vertical_regularization_coef * jnp.abs(flow[..., 1, :, :]) / W
+        + params.horizontal_regularization_coef * jnp.abs(flow[..., 0, :, :]) / H
+    )
+    if params.use_directional_regularization:
+        eps = 0.001
+        bmag = jnp.sqrt(
+            blurred_flow[..., 0, :, :] ** 2 + blurred_flow[..., 1, :, :] ** 2
+        )
+        fmag = jnp.sqrt(flow[..., 0, :, :] ** 2 + flow[..., 1, :, :] ** 2)
+        dot = (
+            blurred_flow[..., 0, :, :] * flow[..., 0, :, :]
+            + blurred_flow[..., 1, :, :] * flow[..., 1, :, :]
+        ) / ((bmag + eps) * (fmag + eps))
+        err = err - params.directional_regularization_coef * dot
+    return err
+
+
+def _shift_traced(arr, dy, dx):
+    """Shift (..., H, W) content by (dy, dx) pixels (traced scalars ok)
+    with edge replication: the value landing at p came from p - (dy, dx),
+    clamped to the frame."""
+    H, W = arr.shape[-2:]
+    ys = jnp.clip(jnp.arange(H) - dy, 0, H - 1)
+    xs = jnp.clip(jnp.arange(W) - dx, 0, W - 1)
+    return arr[..., ys[:, None], xs[None, :]]
+
+
+def _shift_with_edge(arr, dy, dx):
+    """Shift (..., H, W) content by (dy, dx) pixels with edge clamp: the
+    value that lands at p came from p - (dy, dx)."""
+    out = jnp.roll(arr, (dy, dx), axis=(-2, -1))
+    if dy > 0:
+        out = out.at[..., :dy, :].set(out[..., dy : dy + 1, :])
+    elif dy < 0:
+        out = out.at[..., dy:, :].set(out[..., dy - 1 : dy, :])
+    if dx > 0:
+        out = out.at[..., :, :dx].set(out[..., :, dx : dx + 1])
+    elif dx < 0:
+        out = out.at[..., :, dx:].set(out[..., :, dx - 1 : dx])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-level solver (replaces patchMatchPropagationAndSearch)
+# ---------------------------------------------------------------------------
+
+
+def _propagation_and_search(I0, I1, alpha0, alpha1, flow, params: FlowParams):
+    """One pyramid level. I0/I1/alpha0/alpha1: (B, H, W); flow (B, 2, H, W)."""
+    B, H, W = I0.shape
+
+    I0x = _sobel_k1(I0, -1)
+    I0y = _sobel_k1(I0, -2)
+    I1x = _sobel_k1(I1, -1)
+    I1y = _sobel_k1(I1, -2)
+    blur = lambda a: gaussian_blur(
+        a, GRADIENT_BLUR_SIGMA, ksize=GRADIENT_BLUR_KSIZE
+    )
+    I0x, I0y, I1x, I1y = blur(I0x), blur(I0y), blur(I1x), blur(I1y)
+
+    gy, gx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    gate = (alpha0 > UPDATE_ALPHA_THRESHOLD) & (alpha1 > UPDATE_ALPHA_THRESHOLD)
+
+    def sweep(flow):
+        blurred_flow = gaussian_blur(
+            flow, BLURRED_FLOW_SIGMA, ksize=BLURRED_FLOW_KSIZE
+        )
+        ctx = (I0x, I0y, I1x, I1y, blurred_flow, gx, gy)
+
+        def round_fn(flow, d):
+            # neighbor proposals at offset d in 4 directions, plus optional
+            # absolute +-d probes (PatchMatch's random-search analog; the
+            # reference's fine 0.9 pyramid makes them redundant there, but
+            # they let coarser pyramids escape the ~1px descent basin).
+            # d is traced so all rounds share one compiled body (lax.scan).
+            candidates = [flow] + [
+                _shift_traced(flow, dy * d, dx * d)
+                for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0))
+            ]
+            if params.use_probe_candidates:
+                df = d.astype(jnp.float32)
+                zero = jnp.zeros_like(flow)
+                for (py, px) in (
+                    (0, 1), (0, -1), (1, 0), (-1, 0),
+                    (1, 1), (1, -1), (-1, 1), (-1, -1),
+                ):
+                    delta = (
+                        zero.at[..., 0, :, :].add(px * df)
+                        .at[..., 1, :, :].add(py * df)
+                    )
+                    candidates.append(flow + delta)
+            cand = jnp.stack(candidates, axis=0)  # (K, B, 2, H, W)
+            errs = _error_field(cand, ctx, params)  # (K, B, H, W)
+            best = jnp.argmin(errs, axis=0)  # (B, H, W)
+            flow_prop = jnp.take_along_axis(
+                cand, best[None, :, None, :, :], axis=0
+            )[0]
+            curr_err = jnp.min(errs, axis=0)
+
+            # numeric-gradient descent step (PixFlow.h:195-217)
+            ex = jnp.zeros_like(flow_prop).at[..., 0, :, :].add(GRAD_EPSILON)
+            ey = jnp.zeros_like(flow_prop).at[..., 1, :, :].add(GRAD_EPSILON)
+            err_x = _error_field(flow_prop + ex, ctx, params)
+            err_y = _error_field(flow_prop + ey, ctx, params)
+            gflow = (
+                jnp.stack([err_x - curr_err, err_y - curr_err], axis=-3)
+                / GRAD_EPSILON
+            )
+            flow_new = flow_prop - params.gradient_step_size * gflow
+            return jnp.where(gate[:, None], flow_new, flow), None
+
+        ds = jnp.asarray(params.prop_offsets, jnp.int32)
+        flow, _ = jax.lax.scan(round_fn, flow, ds)
+        return flow
+
+    # two "sweeps" with a 5x5 median between and after (PixFlow.h:388-411)
+    flow = sweep(flow)
+    flow = median_filter(flow, MEDIAN_BLUR_SIZE)
+    flow = sweep(flow)
+    flow = median_filter(flow, MEDIAN_BLUR_SIZE)
+
+    # low-alpha diffusion toward blurred flow (PixFlow.h:437-454)
+    blurred_flow = gaussian_blur(flow, BLURRED_FLOW_SIGMA, ksize=BLURRED_FLOW_KSIZE)
+    diffusion = (1.0 - alpha0 * alpha1)[:, None]
+    flow = diffusion * blurred_flow + (1.0 - diffusion) * flow
+    return flow
+
+
+# ---------------------------------------------------------------------------
+# coarse-level direction-hinted search (PixFlow.h:219-342)
+# ---------------------------------------------------------------------------
+
+
+def _search_distance(params: FlowParams) -> int:
+    return (PYR_MIN_IMAGE_SIZE * params.search_max_percentage + 50) // 100
+
+
+def _search_offsets(params: FlowParams):
+    """Static union of the 4 hint boxes (computeSearchBox, PixFlow.h:279-296)
+    as (dy, dx, hint_mask) triples; per-element hints select via masking."""
+    dist = _search_distance(params)
+    ratio = 8
+    ortho = (dist + ratio // 2) // ratio
+    offsets = []
+    boxes = {
+        HINT_RIGHT: (range(-ortho, ortho + 1), range(0, dist + 1)),
+        HINT_LEFT: (range(-ortho, ortho + 1), range(-dist, 1)),
+        HINT_DOWN: (range(0, dist + 1), range(-ortho, ortho + 1)),
+        HINT_UP: (range(-dist, 1), range(-ortho, ortho + 1)),
+    }
+    union = {}
+    for hint, (dys, dxs) in boxes.items():
+        for dy in dys:
+            for dx in dxs:
+                union.setdefault((dy, dx), set()).add(hint)
+    for (dy, dx), hints in sorted(union.items()):
+        offsets.append((dy, dx, tuple(sorted(hints))))
+    return offsets
+
+
+def _adjust_initial_flow(I0, I1, alpha0, alpha1, flow, hint, params: FlowParams):
+    """Brute-force 5x5-SAD search over the hint box at the coarsest level
+    (adjustInitialFlow, PixFlow.h:298-342), vectorized over all offsets.
+    ``hint`` is (B,) int32."""
+    B, H, W = I0.shape
+    # poor man's color correction (PixFlow.h:261-277)
+    a = alpha0 * alpha1
+    ratio = jnp.sum(a * I0, axis=(-1, -2)) / (
+        jnp.sum(a * I1, axis=(-1, -2)) + 1e-12
+    )
+    I1eq = I1 * ratio[:, None, None]
+
+    dist = _search_distance(params)
+
+    def patch_error(dy, dx):
+        shifted_I1 = _shift_with_edge(I1eq, -dy, -dx)  # I1eq at p + (dy,dx)
+        shifted_a1 = _shift_with_edge(alpha1, -dy, -dx)
+        sad = _box5(jnp.abs(I0 - shifted_I1))
+        asum = _box5(alpha0 * shifted_a1)
+        err = sad / jnp.maximum(asum, 1e-12)
+        length = float(np.hypot(dx, dy))
+        return err * (1.0 + length / max(dist, 1))
+
+    err0 = 0.8 * patch_error(0, 0)
+    best_err = err0
+    best_dy = jnp.zeros((B, H, W), jnp.float32)
+    best_dx = jnp.zeros((B, H, W), jnp.float32)
+    for dy, dx, hints in _search_offsets(params):
+        if (dy, dx) == (0, 0):
+            continue
+        err = patch_error(dy, dx)
+        hint_ok = jnp.zeros((B,), bool)
+        for h in hints:
+            hint_ok = hint_ok | (hint == h)
+        err = jnp.where(hint_ok[:, None, None], err, jnp.inf)
+        better = err < best_err
+        best_err = jnp.where(better, err, best_err)
+        best_dy = jnp.where(better, float(dy), best_dy)
+        best_dx = jnp.where(better, float(dx), best_dx)
+
+    found = alpha0 > UPDATE_ALPHA_THRESHOLD
+    new_flow = jnp.stack([best_dx, best_dy], axis=1)
+    return jnp.where(found[:, None], new_flow, flow)
+
+
+# ---------------------------------------------------------------------------
+# pyramid + driver (computeOpticalFlow, PixFlow.h:81-183)
+# ---------------------------------------------------------------------------
+
+
+def _pyramid_sizes(h: int, w: int, params: FlowParams):
+    """Level sizes, finest first (buildPyramid, PixFlow.h:477-491)."""
+    sizes = [(h, w)]
+    while True:
+        nh = int(sizes[-1][0] * params.pyr_scale_factor + 0.5)
+        nw = int(sizes[-1][1] * params.pyr_scale_factor + 0.5)
+        if nh <= params.min_image_size or nw <= params.min_image_size:
+            break
+        sizes.append((nh, nw))
+    return sizes
+
+
+def _to_grey_alpha(rgba):
+    """(B, 4, H, W) RGBA [0,1] -> grey (B, H, W), alpha (B, H, W) using the
+    BT.601 weights of cvtColor(BGRA2GRAY)."""
+    r, g, b, a = rgba[:, 0], rgba[:, 1], rgba[:, 2], rgba[:, 3]
+    return 0.299 * r + 0.587 * g + 0.114 * b, a
+
+
+@partial(jax.jit, static_argnames=("params", "use_temporal"))
+def compute_flow(
+    img0,
+    img1,
+    params: FlowParams,
+    hint=None,
+    prev_flow=None,
+    prev_img0=None,
+    prev_img1=None,
+    use_temporal: bool = False,
+):
+    """Optical flow img0 -> img1.
+
+    img0/img1: (B, 4, H, W) RGBA float32 in [0,1] (alpha marks valid px).
+    hint: (B,) int32 direction hints (HINT_*), used only when
+    params.search_max_percentage > 0.
+    prev_*: previous frame's flow (B, 2, H, W) and images, enabling temporal
+    regularization when use_temporal=True.
+
+    Returns flow (B, 2, H, W) in pixels at full input resolution.
+    """
+    B, C, H, W = img0.shape
+    assert C == 4, "expected RGBA input"
+    if hint is None:
+        hint = jnp.full((B,), HINT_UNKNOWN, jnp.int32)
+
+    # pre-scale everything by downscaleFactor (PixFlow.h:92-118)
+    dh, dw = int(H * params.downscale_factor), int(W * params.downscale_factor)
+    img0d = resize_cubic(img0, (dh, dw))
+    img1d = resize_cubic(img1, (dh, dw))
+
+    if use_temporal:
+        prev_flow_d = resize_cubic(prev_flow, (dh, dw)) * (dh / prev_flow.shape[-2])
+        prev1d = resize_cubic(prev_img1, (dh, dw))
+        motion = (
+            jnp.sum(jnp.abs(img1d[:, :3] - prev1d[:, :3]), axis=1) / 3.0
+        )
+    else:
+        prev_flow_d = jnp.zeros((B, 2, dh, dw), jnp.float32)
+        motion = jnp.zeros((B, dh, dw), jnp.float32)
+
+    I0, alpha0 = _to_grey_alpha(img0d)
+    I1, alpha1 = _to_grey_alpha(img1d)
+    I0 = gaussian_blur(I0, PRE_BLUR_SIGMA, ksize=PRE_BLUR_KSIZE)
+    I1 = gaussian_blur(I1, PRE_BLUR_SIGMA, ksize=PRE_BLUR_KSIZE)
+
+    sizes = _pyramid_sizes(dh, dw, params)
+
+    flow = None
+    for level in range(len(sizes) - 1, -1, -1):
+        lh, lw = sizes[level]
+        I0l = resize_bilinear(I0, (lh, lw)) if level else I0
+        I1l = resize_bilinear(I1, (lh, lw)) if level else I1
+        a0l = resize_bilinear(alpha0, (lh, lw)) if level else alpha0
+        a1l = resize_bilinear(alpha1, (lh, lw)) if level else alpha1
+
+        if flow is None:
+            flow = jnp.zeros((B, 2, lh, lw), jnp.float32)
+            if params.search_max_percentage > 0:
+                flow = _adjust_initial_flow(
+                    I0l, I1l, a0l, a1l, flow, hint, params
+                )
+
+        flow = _propagation_and_search(I0l, I1l, a0l, a1l, flow, params)
+
+        if use_temporal:
+            # adjustFlowTowardPrevious (PixFlow.h:185-193)
+            prev_l = resize_cubic(prev_flow_d, (lh, lw)) * (lh / dh)
+            motion_l = resize_bilinear(motion, (lh, lw))
+            w = (1.0 - motion_l)[:, None]
+            flow = flow * (1.0 - w) + prev_l * w
+
+        if level > 0:
+            nh, nw = sizes[level - 1]
+            flow = resize_cubic(flow, (nh, nw)) * (1.0 / params.pyr_scale_factor)
+
+    # back to full resolution (PixFlow.h:175-182)
+    flow = resize_bilinear(flow, (H, W)) * (1.0 / params.downscale_factor)
+    flow = gaussian_blur(
+        flow, FINAL_FLOW_BLUR_SIGMA, ksize=FINAL_FLOW_BLUR_KSIZE
+    )
+    return flow

@@ -23,10 +23,12 @@ import numpy as np
 
 __all__ = [
     "resize_bilinear",
+    "resize_cubic",
     "resize_area",
     "gaussian_blur",
     "pyramid_down",
     "resize_matrix_bilinear",
+    "resize_matrix_cubic",
     "resize_matrix_area",
 ]
 
@@ -49,6 +51,31 @@ def resize_matrix_bilinear(n_in: int, n_out: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=256)
+def resize_matrix_cubic(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bicubic (a=-0.75, OpenCV INTER_CUBIC) sampling matrix
+    with clamped borders."""
+    a = -0.75
+    scale = n_in / n_out
+    src = (np.arange(n_out) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0
+    m = np.zeros((n_out, n_in), dtype=np.float64)
+    rows = np.arange(n_out)
+
+    def k01(s):
+        return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+    def k12(s):
+        return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+    weights = [k12(t + 1.0), k01(t), k01(1.0 - t), k12(2.0 - t)]
+    for tap, w in enumerate(weights):
+        j = np.clip(i0 - 1 + tap, 0, n_in - 1)
+        np.add.at(m, (rows, j), w)
+    return m.astype(np.float32)
+
+
+@lru_cache(maxsize=256)
 def resize_matrix_area(n_in: int, n_out: int) -> np.ndarray:
     """(n_out, n_in) box-average (INTER_AREA) matrix: each output pixel
     averages the source interval it covers, with fractional edge weights."""
@@ -68,11 +95,15 @@ def resize_matrix_area(n_in: int, n_out: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=256)
-def _gaussian_band_matrix(n: int, sigma: float, boundary: str) -> np.ndarray:
+def _gaussian_band_matrix(
+    n: int, sigma: float, boundary: str, ksize: int = 0
+) -> np.ndarray:
     """(n, n) Toeplitz gaussian-blur matrix with reflect/wrap boundary.
-    Kernel radius = ceil(3 sigma), matching cv::GaussianBlur's effective
-    support for auto kernel sizes."""
-    radius = max(1, int(np.ceil(3.0 * sigma)))
+    Kernel radius = ceil(3 sigma) when ksize=0 (cv::GaussianBlur auto),
+    else (ksize-1)/2 — the reference passes explicit kernel sizes that
+    truncate the gaussian (e.g. ksize 15 at sigma 8, PixFlow.h:48-49) and
+    the truncation is behaviorally significant."""
+    radius = (ksize - 1) // 2 if ksize else max(1, int(np.ceil(3.0 * sigma)))
     xs = np.arange(-radius, radius + 1)
     k = np.exp(-0.5 * (xs / sigma) ** 2)
     k /= k.sum()
@@ -110,6 +141,16 @@ def resize_bilinear(img, shape):
 
 
 @partial(jax.jit, static_argnames=("shape",))
+def resize_cubic(img, shape):
+    """Resize (..., H, W) -> (..., *shape) with bicubic sampling
+    (INTER_CUBIC); the reference's choice for flow-field rescales."""
+    H, W = img.shape[-2:]
+    return _apply_separable(
+        img, resize_matrix_cubic(H, shape[0]), resize_matrix_cubic(W, shape[1])
+    )
+
+
+@partial(jax.jit, static_argnames=("shape",))
 def resize_area(img, shape):
     """Resize (..., H, W) -> (..., *shape) with box averaging (INTER_AREA);
     the reference's choice for downscales."""
@@ -119,16 +160,17 @@ def resize_area(img, shape):
     )
 
 
-@partial(jax.jit, static_argnames=("sigma", "boundary"))
-def gaussian_blur(img, sigma: float, boundary: str = "reflect"):
-    """Separable gaussian blur of (..., H, W); sigma in pixels."""
+@partial(jax.jit, static_argnames=("sigma", "boundary", "ksize"))
+def gaussian_blur(img, sigma: float, boundary: str = "reflect", ksize: int = 0):
+    """Separable gaussian blur of (..., H, W); sigma in pixels. ``ksize``
+    (odd) fixes the truncation width like cv::GaussianBlur's ksize arg."""
     if sigma <= 0:
         return jnp.asarray(img, jnp.float32)
     H, W = img.shape[-2:]
     return _apply_separable(
         img,
-        _gaussian_band_matrix(H, sigma, boundary),
-        _gaussian_band_matrix(W, sigma, boundary),
+        _gaussian_band_matrix(H, sigma, boundary, ksize),
+        _gaussian_band_matrix(W, sigma, boundary, ksize),
     )
 
 

@@ -1,0 +1,287 @@
+"""Flow-based novel-view synthesis.
+
+Rebuild of surround360_render/source/optical_flow/NovelView.{h,cpp}. The
+reference's LazyNovelViewBuffer is a per-chunk (x, y, t) table whose x is an
+affine function of the chunk column and whose y is the identity
+(renderStereoPanoramaChunksThread, TestRenderStereoPanorama.cpp:259-292) —
+so here it collapses to two closed-form per-column vectors (sample column +
+shift t) and the whole "lazy render" becomes:
+
+  1. a column resampling of the flow field (1-D bicubic in x: the warp's y
+     is integral) — expressed as an MXU matmul with a precomputed
+     column-sampling matrix;
+  2. one true 2-D bicubic remap of the source image at
+     (warp_x + t * flow_x, y + t * flow_y) (NovelView.cpp:174-224);
+  3. the softmax/deghost blend of the from-L and from-R renders
+     (combineLazyViews, NovelView.cpp:101-154).
+
+Everything is batched over pairs: images (B, 4, H, W), flows (B, 2, H, W).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..flow import HINT_LEFT, HINT_RIGHT, compute_flow
+from ..ops.remap import remap
+from ..ops.resize import resize_matrix_cubic  # noqa: F401  (same tap math)
+
+__all__ = [
+    "lazy_warp_columns",
+    "render_lazy_novel_view",
+    "combine_lazy_views",
+    "render_chunk_pair",
+    "prepare_pair_flows",
+    "generate_novel_view",
+    "combine_novel_views",
+]
+
+
+def lazy_warp_columns(
+    chunk_width: int,
+    cam_image_width: int,
+    verge_displacement: float,
+    eye: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-column (sample_x, t) for one eye's chunk
+    (TestRenderStereoPanorama.cpp:271-285): column nv of the chunk samples
+    source column camW/2 - (numNovelViews - nv) +- verge, at time
+    t = nv / numNovelViews (+ for left eye, - for right)."""
+    nv = np.arange(chunk_width, dtype=np.float64)
+    shift = nv / chunk_width
+    slab = cam_image_width * 0.5 - (chunk_width - nv)
+    sign = 1.0 if eye == "left" else -1.0
+    warp_x = slab + sign * verge_displacement
+    return warp_x.astype(np.float32), shift.astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _column_sample_matrix(src_width: int, warp_x_key: tuple) -> np.ndarray:
+    """(chunk_w, src_w) bicubic column-sampling matrix S with clamped
+    borders: sampled[:, c] = sum_w S[c, w] * field[:, w]."""
+    a = -0.75
+    warp_x = np.asarray(warp_x_key, dtype=np.float64)
+    i0 = np.floor(warp_x).astype(np.int64)
+    t = warp_x - i0
+    m = np.zeros((len(warp_x), src_width), dtype=np.float64)
+    rows = np.arange(len(warp_x))
+
+    def k01(s):
+        return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+    def k12(s):
+        return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+    for tap, w in enumerate([k12(t + 1.0), k01(t), k01(1.0 - t), k12(2.0 - t)]):
+        j = np.clip(i0 - 1 + tap, 0, src_width - 1)
+        np.add.at(m, (rows, j), w)
+    return m.astype(np.float32)
+
+
+def render_lazy_novel_view(
+    src,
+    flow,
+    warp_x: np.ndarray,
+    t_cols: np.ndarray,
+    invert_t: bool,
+):
+    """One of the four per-pair lazy renders (NovelView.cpp:174-224).
+
+    src: (B, 4, H, W) RGBA; flow: (B, 2, H, W); warp_x/t_cols: (chunk_w,)
+    per-column sample positions and shifts. Returns (novel (B, 4, H, Wc),
+    flow_mag (B, H, Wc))."""
+    B, C, H, W = src.shape
+    Wc = len(warp_x)
+    # 1. resample flow at the lazy warp columns — 1-D bicubic as matmul
+    S = jnp.asarray(_column_sample_matrix(W, tuple(np.round(warp_x, 6))))
+    remapped_flow = jnp.einsum(
+        "cw,bfhw->bfhc", S, flow, precision="float32"
+    )  # (B, 2, H, Wc)
+
+    t = jnp.asarray(1.0 - t_cols if invert_t else t_cols)  # (Wc,)
+    # 2. compose the full warp and sample the source
+    gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    warp_comp_x = jnp.asarray(warp_x)[None, None, :] + remapped_flow[:, 0] * t
+    warp_comp_y = gy[None] + remapped_flow[:, 1] * t
+    coords = jnp.stack([warp_comp_x, warp_comp_y], axis=1)  # (B, 2, H, Wc)
+    novel = remap(src, coords, interpolation="bicubic", border="constant")
+    # 3. pack (1 - t) into alpha; keep flow magnitude for the blend
+    alpha = novel[:, 3] * (1.0 - t)[None, None, :]
+    novel = jnp.concatenate([novel[:, :3], alpha[:, None]], axis=1)
+    flow_mag = jnp.sqrt(
+        remapped_flow[:, 0] ** 2 + remapped_flow[:, 1] ** 2
+    )
+    return novel, flow_mag
+
+
+def combine_lazy_views(novel_l, novel_r, mag_l, mag_r):
+    """Blend the from-L and from-R renders (combineLazyViews,
+    NovelView.cpp:101-154). Inputs (B, 4, H, Wc) / (B, H, Wc); returns
+    (B, 4, H, Wc) with binarized output alpha."""
+    k_color_diff_coef = 10.0
+    k_sharpness = 10.0
+    k_flow_mag_coef = 20.0
+
+    W_img = novel_l.shape[-1]
+    a_l = novel_l[:, 3]
+    a_r = novel_r[:, 3]
+    out_alpha = (jnp.maximum(a_l, a_r) > 0.1).astype(novel_l.dtype)
+
+    norm = a_l + a_r
+    safe_norm = jnp.where(norm == 0, 1.0, norm)
+    blend_l = a_l / safe_norm
+    blend_r = a_r / safe_norm
+
+    mag_ln = mag_l / W_img
+    mag_rn = mag_r / W_img
+    color_diff = jnp.sum(jnp.abs(novel_l[:, :3] - novel_r[:, :3]), axis=1)
+    deghost = jnp.tanh(color_diff * k_color_diff_coef)
+    exp_l = jnp.exp(k_sharpness * blend_l * (1.0 + k_flow_mag_coef * mag_ln))
+    exp_r = jnp.exp(k_sharpness * blend_r * (1.0 + k_flow_mag_coef * mag_rn))
+    sum_exp = exp_l + exp_r + 1e-5
+    softmax_l = exp_l / sum_exp
+    softmax_r = exp_r / sum_exp
+
+    w_l = blend_l + deghost * (softmax_l - blend_l)
+    w_r = blend_r + deghost * (softmax_r - blend_r)
+
+    both = (a_l > 0) & (a_r > 0)
+    only_l = (a_l > 0) & ~both
+    only_r = (a_r > 0) & ~both
+    rgb_blend = novel_l[:, :3] * w_l[:, None] + novel_r[:, :3] * w_r[:, None]
+    rgb = jnp.where(
+        both[:, None],
+        rgb_blend,
+        jnp.where(only_l[:, None], novel_l[:, :3],
+                  jnp.where(only_r[:, None], novel_r[:, :3], 0.0)),
+    )
+    return jnp.concatenate([rgb, out_alpha[:, None]], axis=1)
+
+
+def render_chunk_pair(
+    image_l,
+    image_r,
+    flow_l_to_r,
+    flow_r_to_l,
+    warp_x_l,
+    t_cols,
+    warp_x_r,
+):
+    """Render one camera pair's left/right-eye panorama chunks
+    (combineLazyNovelViews, NovelView.cpp:226-268): 4 lazy renders (eye x
+    source) followed by 2 deghost blends. All inputs batched over pairs.
+
+    warp_x_l / warp_x_r: (chunk_w,) HOST numpy column warps for left/right
+    eye; t_cols: (chunk_w,) shifts. Not jitted itself — callers jit the
+    surrounding pipeline and these fold in as compile-time constants.
+    Returns (chunk_left_eye, chunk_right_eye): (B, 4, H, chunk_w)."""
+    le_from_l, mag_ll = render_lazy_novel_view(
+        image_l, flow_r_to_l, warp_x_l, t_cols, invert_t=False
+    )
+    le_from_r, mag_lr = render_lazy_novel_view(
+        image_r, flow_l_to_r, warp_x_l, t_cols, invert_t=True
+    )
+    re_from_l, mag_rl = render_lazy_novel_view(
+        image_l, flow_r_to_l, warp_x_r, t_cols, invert_t=False
+    )
+    re_from_r, mag_rr = render_lazy_novel_view(
+        image_r, flow_l_to_r, warp_x_r, t_cols, invert_t=True
+    )
+    chunk_l = combine_lazy_views(le_from_l, le_from_r, mag_ll, mag_lr)
+    chunk_r = combine_lazy_views(re_from_l, re_from_r, mag_rl, mag_rr)
+    return chunk_l, chunk_r
+
+
+def prepare_pair_flows(
+    overlap_l,
+    overlap_r,
+    params,
+    prev_flow_l_to_r=None,
+    prev_flow_r_to_l=None,
+    prev_overlap_l=None,
+    prev_overlap_r=None,
+    use_temporal: bool = False,
+):
+    """Asymmetric pair flows (NovelViewGeneratorAsymmetricFlow::prepare,
+    NovelView.cpp:270-299): L->R with hint LEFT, R->L with hint RIGHT,
+    each with its own temporal prior. Batched over pairs (B, 4, H, W)."""
+    B = overlap_l.shape[0]
+    hint_l = jnp.full((B,), HINT_LEFT, jnp.int32)
+    hint_r = jnp.full((B,), HINT_RIGHT, jnp.int32)
+    flow_l_to_r = compute_flow(
+        overlap_l,
+        overlap_r,
+        params,
+        hint=hint_l,
+        prev_flow=prev_flow_l_to_r,
+        prev_img0=prev_overlap_l,
+        prev_img1=prev_overlap_r,
+        use_temporal=use_temporal,
+    )
+    flow_r_to_l = compute_flow(
+        overlap_r,
+        overlap_l,
+        params,
+        hint=hint_r,
+        prev_flow=prev_flow_r_to_l,
+        prev_img0=prev_overlap_r,
+        prev_img1=prev_overlap_l,
+        use_temporal=use_temporal,
+    )
+    return flow_l_to_r, flow_r_to_l
+
+
+# ---------------------------------------------------------------------------
+# eager novel-view path (TestOpticalFlow uses these; NovelView.cpp:27-99)
+# ---------------------------------------------------------------------------
+
+
+def generate_novel_view(src, reverse_flow, t: float):
+    """Shifted view at time t: sample src at p + t * reverse_flow
+    (generateNovelViewSimpleCvRemap, NovelView.cpp:27-45)."""
+    B, C, H, W = src.shape
+    gy, gx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    coords = jnp.stack([gx[None] + reverse_flow[:, 0] * t,
+                        gy[None] + reverse_flow[:, 1] * t], axis=1)
+    return remap(src, coords, interpolation="bicubic", border="constant")
+
+
+def combine_novel_views(view_l, blend_l, view_r, blend_r, flow_l_to_r, flow_r_to_l):
+    """Eager blend (combineNovelViews, NovelView.cpp:47-99); constants
+    kColorDiffCoef=10, kSoftmaxSharpness=10, kFlowMagCoef=100."""
+    k_flow_mag_coef = 100.0
+    k_sharpness = 10.0
+    k_color_diff_coef = 10.0
+    W_img = view_l.shape[-1]
+    a_l = view_l[:, 3]
+    a_r = view_r[:, 3]
+    mag_lr = jnp.sqrt(flow_l_to_r[:, 0] ** 2 + flow_l_to_r[:, 1] ** 2) / W_img
+    mag_rl = jnp.sqrt(flow_r_to_l[:, 0] ** 2 + flow_r_to_l[:, 1] ** 2) / W_img
+    color_diff = jnp.sum(jnp.abs(view_l[:, :3] - view_r[:, :3]), axis=1)
+    deghost = jnp.tanh(color_diff * k_color_diff_coef)
+    exp_l = jnp.exp(k_sharpness * blend_l * a_l * (1.0 + k_flow_mag_coef * mag_rl))
+    exp_r = jnp.exp(k_sharpness * blend_r * a_r * (1.0 + k_flow_mag_coef * mag_lr))
+    sum_exp = exp_l + exp_r + 1e-5
+    softmax_l = exp_l / sum_exp
+    softmax_r = exp_r / sum_exp
+    w_l = blend_l + deghost * (softmax_l - blend_l)
+    w_r = blend_r + deghost * (softmax_r - blend_r)
+    both = (a_l > 0) & (a_r > 0)
+    only_l = (a_l > 0) & ~both
+    only_r = (a_r > 0) & ~both
+    rgb = jnp.where(
+        both[:, None],
+        view_l[:, :3] * w_l[:, None] + view_r[:, :3] * w_r[:, None],
+        jnp.where(only_l[:, None], view_l[:, :3],
+                  jnp.where(only_r[:, None], view_r[:, :3], 0.0)),
+    )
+    alpha = ((a_l > 0) | (a_r > 0)).astype(view_l.dtype)
+    return jnp.concatenate([rgb, alpha[:, None]], axis=1)
