@@ -1,0 +1,93 @@
+"""Benchmark: full stereo panorama render throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline anchor (BASELINE.md): north-star >30 fps 8K stereo equirect on a
+v5e-8. This round-1 bench measures the complete pipeline (14-camera ring
+projection + 28 pair flows + novel-view chunks + top/bottom pole flow
+composite) on ONE chip at the configured equirect size; vs_baseline is
+fps / 30.
+
+Env knobs: S360_BENCH_EQR_WIDTH (default 2016), S360_BENCH_CAM_SCALE
+(default 0.25 -> 512px cameras), S360_BENCH_FRAMES (default 5),
+S360_BENCH_FULL_SPHERE=0/1 (default 1: top+bottom enabled).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from surround360_tpu.capture import render_camera_views
+    from surround360_tpu.geometry.rig import make_ring_rig
+    from surround360_tpu.render.panorama import (
+        RenderConfig,
+        build_render_context,
+        make_jitted_renderer,
+    )
+
+    eqr_w = int(os.environ.get("S360_BENCH_EQR_WIDTH", "1008"))
+    cam_scale = float(os.environ.get("S360_BENCH_CAM_SCALE", "0.25"))
+    n_frames = int(os.environ.get("S360_BENCH_FRAMES", "5"))
+    full_sphere = os.environ.get("S360_BENCH_FULL_SPHERE", "1") == "1"
+    eqr_h = eqr_w // 2
+
+    rig = make_ring_rig().rescaled(cam_scale)
+    cfg = RenderConfig(
+        eqr_width=eqr_w,
+        eqr_height=eqr_h,
+        side_flow_alg="pixflow_tpu",
+        polar_flow_alg="pixflow_tpu",
+        enable_top=full_sphere,
+        enable_bottom=full_sphere,
+    )
+    ctx = build_render_context(rig, cfg)
+    views = render_camera_views(rig)
+    side = jnp.asarray(np.stack([views[rig.ids.index(s)] for s in rig.side_ids]))
+    top = jnp.asarray(views[rig.top_camera_index]) if full_sphere else None
+    bottom = (
+        jnp.asarray(views[rig.bottom_camera_index]) if full_sphere else None
+    )
+
+    render = make_jitted_renderer(ctx)
+    # compile + warmup; force materialization (block_until_ready alone has
+    # proven unreliable on the experimental axon platform)
+    outputs, _ = render(side, top, bottom, None)
+    np.asarray(outputs["equirect"])
+
+    t0 = time.time()
+    for _ in range(n_frames):
+        outputs, _ = render(side, top, bottom, None)
+        np.asarray(outputs["equirect"][0, 0, 0])  # sync point per frame
+    dt = (time.time() - t0) / n_frames
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"stereo equirect render fps ({eqr_w}x{eqr_h} per eye, "
+                    f"full pipeline incl. 28 pair flows"
+                    f"{' + top/bottom pole composite' if full_sphere else ''}, "
+                    f"1 chip)"
+                ),
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 30.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Per-frame stereo render driver with temporal regularization + resume.
+
+Rebuild of scripts/batch_process_video.py + the TestRenderStereoPanorama
+invocation loop: renders frames [start, end], carrying the temporal flow
+state across frames on-device (the reference serializes flow .bin files
+between subprocess invocations, TestRenderStereoPanorama.cpp:210-256).
+State is also serialized per frame (--save_state) for --resume parity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+from ..geometry.rig import load_rig
+from ..render.panorama import RenderConfig, build_render_context, render_frame
+from .common import log, read_image_rgba, setup_logging, write_image
+
+QUALITY_PRESETS = {
+    # name -> (eqr_width, eqr_height, final_width, final_height)
+    # (batch_process_video.py:176-199)
+    "3k": (3080, 1540, 3080, 3080),
+    "4k": (4200, 1024, 4096, 2048),
+    "6k": (6300, 3072, 6300, 6144),
+    "8k": (8400, 4096, 8192, 8192),
+    "preview": (1008, 504, 1008, 1008),
+}
+
+
+def render_video(
+    rig_json: str,
+    imgs_dir: str,
+    output_dir: str,
+    start_frame: int,
+    end_frame: int,
+    config: RenderConfig,
+    pole_masks_dir: str | None = None,
+    save_state_dir: str | None = None,
+    resume_state: str | None = None,
+    save_debug_images: bool = False,
+):
+    import jax.numpy as jnp
+
+    from ..flow import make_flow_params
+    from ..render.pole import combine_bottom_images_with_pole_removal
+
+    rig = load_rig(rig_json)
+    ctx = build_render_context(rig, config)
+    os.makedirs(os.path.join(output_dir, "eqr_frames"), exist_ok=True)
+
+    state = None
+    if resume_state:
+        with open(resume_state, "rb") as f:
+            state = pickle.load(f)
+        state = {k: jnp.asarray(v) for k, v in state.items()}
+        log.info("resumed temporal state from %s", resume_state)
+
+    pole_state = {}
+    for frame in range(start_frame, end_frame + 1):
+        frame_name = f"{frame:06d}"
+        t0 = time.time()
+        side = jnp.asarray(
+            np.stack(
+                [
+                    read_image_rgba(
+                        os.path.join(imgs_dir, cam_id, frame_name + ".png")
+                    )
+                    for cam_id in rig.side_ids
+                ]
+            )
+        )
+        top = bottom = None
+        if config.enable_top:
+            top = jnp.asarray(
+                read_image_rgba(
+                    os.path.join(
+                        imgs_dir,
+                        rig.ids[rig.top_camera_index],
+                        frame_name + ".png",
+                    )
+                )
+            )
+        if config.enable_bottom:
+            bottom_id = rig.ids[rig.bottom_camera_index]
+            bottom = jnp.asarray(
+                read_image_rgba(
+                    os.path.join(imgs_dir, bottom_id, frame_name + ".png")
+                )
+            )
+            if config.enable_pole_removal:
+                from ..geometry.camera import approximate_usable_pixels_radius
+
+                bottom2_id = rig.ids[rig.bottom_camera2_index]
+                bottom2 = jnp.asarray(
+                    read_image_rgba(
+                        os.path.join(imgs_dir, bottom2_id, frame_name + ".png")
+                    )
+                )
+                mask = _load_pole_mask(pole_masks_dir, bottom_id, bottom.shape[-2:])
+                mask2 = _load_pole_mask(pole_masks_dir, bottom2_id, bottom2.shape[-2:])
+                bottom, pole_flow = combine_bottom_images_with_pole_removal(
+                    bottom,
+                    bottom2,
+                    mask,
+                    mask2,
+                    ctx.bottom_usable_radius,
+                    ctx.bottom2_usable_radius,
+                    ctx.pole_flip180,
+                    make_flow_params(config.poleremoval_flow_alg),
+                    config.std_alpha_feather_size,
+                    prev_flow=pole_state.get("pole_flow"),
+                    prev_bottom=pole_state.get("prev_bottom"),
+                    prev_bottom2=pole_state.get("prev_bottom2"),
+                    use_temporal="pole_flow" in pole_state,
+                )
+                pole_state = {
+                    "pole_flow": pole_flow,
+                    "prev_bottom": bottom,
+                    "prev_bottom2": bottom2,
+                }
+
+        outputs, state = render_frame(
+            ctx,
+            side,
+            top,
+            bottom,
+            state=state,
+            use_temporal=state is not None,
+        )
+        eqr_path = os.path.join(output_dir, "eqr_frames", f"eqr_{frame_name}.png")
+        write_image(eqr_path, np.asarray(outputs["equirect"]))
+        if "cubemap" in outputs:
+            write_image(
+                os.path.join(
+                    output_dir, "eqr_frames", f"cube_{frame_name}.png"
+                ),
+                np.asarray(outputs["cubemap"]),
+            )
+        if save_state_dir:
+            os.makedirs(save_state_dir, exist_ok=True)
+            with open(
+                os.path.join(save_state_dir, f"state_{frame_name}.pkl"), "wb"
+            ) as f:
+                pickle.dump({k: np.asarray(v) for k, v in state.items()}, f)
+            # GC state two frames back (batch_process_video.py:212-228)
+            stale = os.path.join(
+                save_state_dir, f"state_{frame - 2:06d}.pkl"
+            )
+            if os.path.exists(stale):
+                os.remove(stale)
+        log.info("frame %s rendered in %.2fs", frame_name, time.time() - t0)
+    return state
+
+
+def _load_pole_mask(masks_dir, cam_id, hw):
+    """Red pole mask PNG -> (H, W) bool (True where pole)."""
+    if masks_dir is None:
+        return np.zeros(hw, dtype=bool)
+    path = os.path.join(masks_dir, f"{cam_id}.png")
+    if not os.path.exists(path):
+        return np.zeros(hw, dtype=bool)
+    rgba = read_image_rgba(path)
+    return (rgba[0] > 0.99) & (rgba[1] < 0.01) & (rgba[2] < 0.01)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--rig_json_file", required=True)
+    p.add_argument("--imgs_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--end_frame", type=int, default=0)
+    p.add_argument("--quality", default="preview", choices=QUALITY_PRESETS)
+    p.add_argument("--interpupilary_dist", type=float, default=6.4)
+    p.add_argument("--zero_parallax_dist", type=float, default=10000.0)
+    p.add_argument("--sharpening", type=float, default=0.0)
+    p.add_argument("--enable_top", action="store_true")
+    p.add_argument("--enable_bottom", action="store_true")
+    p.add_argument("--enable_pole_removal", action="store_true")
+    p.add_argument("--bottom_pole_masks_dir", default=None)
+    p.add_argument("--side_flow_alg", default="pixflow_tpu")
+    p.add_argument("--polar_flow_alg", default="pixflow_tpu")
+    p.add_argument("--poleremoval_flow_alg", default="pixflow_tpu")
+    p.add_argument("--cubemap_width", type=int, default=0)
+    p.add_argument("--cubemap_height", type=int, default=0)
+    p.add_argument("--cubemap_format", default="video")
+    p.add_argument("--save_state_dir", default=None)
+    p.add_argument("--resume_state", default=None)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+    setup_logging(args.verbose)
+
+    eqr_w, eqr_h, fin_w, fin_h = QUALITY_PRESETS[args.quality]
+    cfg = RenderConfig(
+        eqr_width=eqr_w,
+        eqr_height=eqr_h,
+        final_eqr_width=fin_w,
+        final_eqr_height=fin_h,
+        interpupilary_dist=args.interpupilary_dist,
+        zero_parallax_dist=args.zero_parallax_dist,
+        sharpening=args.sharpening,
+        enable_top=args.enable_top,
+        enable_bottom=args.enable_bottom,
+        enable_pole_removal=args.enable_pole_removal,
+        side_flow_alg=args.side_flow_alg,
+        polar_flow_alg=args.polar_flow_alg,
+        poleremoval_flow_alg=args.poleremoval_flow_alg,
+        cubemap_width=args.cubemap_width,
+        cubemap_height=args.cubemap_height,
+        cubemap_format=args.cubemap_format,
+    )
+    render_video(
+        args.rig_json_file,
+        args.imgs_dir,
+        args.output_dir,
+        args.start_frame,
+        args.end_frame,
+        cfg,
+        pole_masks_dir=args.bottom_pole_masks_dir,
+        save_state_dir=args.save_state_dir,
+        resume_state=args.resume_state,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,18 @@ class Rig:
     def stacked_side_cameras(self, dtype=np.float32) -> Camera:
         return stack_cameras(self.side_cameras, dtype=None)
 
+    def rescaled(self, scale: float) -> "Rig":
+        """Rig with every camera rescaled (createRescaledCamera,
+        Camera.cpp:273-289) — e.g. for preview-resolution rendering."""
+        from .camera import create_rescaled_camera
+
+        return Rig(
+            cameras=[create_rescaled_camera(c, scale) for c in self.cameras],
+            ids=list(self.ids),
+            groups=list(self.groups),
+            filename=self.filename,
+        )
+
 
 def load_rig(filename: str) -> Rig:
     with open(filename) as f:

@@ -1,0 +1,551 @@
+"""The stereo panorama renderer — one compiled program per frame.
+
+Rebuild of surround360_render/source/test/TestRenderStereoPanorama.cpp
+(the reference's production renderer despite its test/ location). Where the
+reference fans out pthreads per camera / pair / eye and hands 8-bit Mats
+between stages, this renderer is a single jitted function over batched
+float32 tensors:
+
+  side images (N,4,H,W) --(batched remap, rig-static warps)--> strips
+  ring of N pairs --(ONE batched flow call, 2N fields)--> chunk renders
+  top/bottom fisheyes --(batched pole-to-side flow)--> deghost composite
+  sharpen -> final equirect (+ cubemap)
+
+Rig-dependent warp fields and chunk geometry are precomputed on host in
+float64 (RenderContext); everything per-frame is traced.
+
+The temporal-regularization state (pair flows + overlap images, pole
+flows) is threaded through as an explicit pytree, replacing the
+reference's flow/*.bin + debug PNG files handoff between frames
+(TestRenderStereoPanorama.cpp:210-256). The CLI still serializes it for
+resume parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..flow import HINT_DOWN, compute_flow, make_flow_params
+from ..geometry.camera import get_fov
+from ..geometry.rig import Rig
+from ..ops.compositing import (
+    feather_alpha,
+    flatten_layers_deghost_prefer_base,
+    offset_horizontal_wrap,
+    stack_horizontal,
+)
+from ..ops.filters import sharpen_iir
+from ..ops.remap import remap
+from ..ops.resize import resize_cubic
+from ..ops.warp import (
+    CUBEMAP_FACE_ORDER,
+    equirect_to_cubemap_warp,
+    rig_fov,
+    side_cam_spherical_warp,
+    spherical_warp_for_camera,
+)
+from ..utils.math_util import ramp
+from ..views.novel_view import lazy_warp_columns, prepare_pair_flows, render_chunk_pair
+
+__all__ = ["RenderConfig", "RenderContext", "render_frame"]
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Flags of the reference renderer (TestRenderStereoPanorama.cpp:44-70)."""
+
+    eqr_width: int = 1024
+    eqr_height: int = 512
+    final_eqr_width: int = 0  # 0: no final resize
+    final_eqr_height: int = 0
+    interpupilary_dist: float = 6.4
+    zero_parallax_dist: float = 10000.0
+    side_alpha_feather_size: int = 100
+    std_alpha_feather_size: int = 31
+    sharpening: float = 0.0
+    enable_top: bool = False
+    enable_bottom: bool = False
+    enable_pole_removal: bool = False
+    side_flow_alg: str = "pixflow_low"
+    polar_flow_alg: str = "pixflow_low"
+    poleremoval_flow_alg: str = "pixflow_low"
+    cubemap_width: int = 0
+    cubemap_height: int = 0
+    cubemap_format: str = "video"
+
+
+@dataclass
+class RenderContext:
+    """Host-precomputed, rig- and config-static tensors."""
+
+    rig: Rig
+    config: RenderConfig
+    # side projection
+    side_warps: np.ndarray  # (N, 2, sh, sw)
+    strip_h: int
+    strip_w: int
+    h_radians: float
+    v_radians: float
+    # ring / novel view geometry
+    overlap_w: int
+    chunk_w: int
+    warp_cols_l: np.ndarray
+    warp_cols_r: np.ndarray
+    t_cols: np.ndarray
+    zero_parallax_shift_px: float
+    # top / bottom
+    top_warp: np.ndarray | None = None
+    top_h: int = 0
+    bottom_warp: np.ndarray | None = None
+    bottom_h: int = 0
+    pole_ramp_geometry: dict = field(default_factory=dict)
+    # pole removal
+    bottom_usable_radius: float = 0.0
+    bottom2_usable_radius: float = 0.0
+    pole_flip180: bool = False
+
+    @property
+    def num_side_cams(self) -> int:
+        return self.rig.side_camera_count
+
+
+def build_render_context(rig: Rig, config: RenderConfig) -> RenderContext:
+    """Precompute all rig-static warps and geometry
+    (projectSphericalCamImages + generateRingOfNovelViews... setup,
+    TestRenderStereoPanorama.cpp:138-175, :295-348)."""
+    n = rig.side_camera_count
+    if config.eqr_width % n != 0:
+        raise ValueError(
+            f"eqr_width must be divisible by the number of side cameras ({n})"
+        )
+    sides = rig.side_cameras
+    h_rad = 2.0 * rig_fov(sides, False)
+    v_rad = 2.0 * rig_fov(sides, True)
+
+    warps = []
+    strip_hw = None
+    for i, cam in enumerate(sides):
+        warp, strip_hw = side_cam_spherical_warp(
+            cam, i, n, (config.eqr_width, config.eqr_height), h_rad, v_rad
+        )
+        warps.append(warp)
+    side_warps = np.stack(warps)
+    sh, sw = strip_hw
+
+    # ring geometry (TestRenderStereoPanorama.cpp:304-316)
+    h_fov_deg = np.degrees(h_rad)
+    overlap_deg = (h_fov_deg * n - 360.0) / n
+    overlap_w = int(sw * overlap_deg / h_fov_deg)
+    chunk_w = config.eqr_width // n
+
+    # lightfield math (TestRenderStereoPanorama.cpp:339-348)
+    v = np.arctan(config.zero_parallax_dist / (config.interpupilary_dist / 2.0))
+    psi = np.arcsin(
+        np.sin(v) * (config.interpupilary_dist / 2.0) / rig.ring_radius
+    )
+    verge_px = psi * (sw / h_rad)
+    theta = -np.pi / 2.0 + v + psi
+    zero_shift_px = config.eqr_width * theta / (2.0 * np.pi)
+
+    wl, t_cols = lazy_warp_columns(chunk_w, sw, verge_px, "left")
+    wr, _ = lazy_warp_columns(chunk_w, sw, verge_px, "right")
+
+    ctx = RenderContext(
+        rig=rig,
+        config=config,
+        side_warps=side_warps,
+        strip_h=sh,
+        strip_w=sw,
+        h_radians=h_rad,
+        v_radians=v_rad,
+        overlap_w=overlap_w,
+        chunk_w=chunk_w,
+        warp_cols_l=wl,
+        warp_cols_r=wr,
+        t_cols=t_cols,
+        zero_parallax_shift_px=float(zero_shift_px),
+    )
+
+    if config.enable_top:
+        cam = rig.cameras[rig.top_camera_index]
+        fov = get_fov(cam)
+        top_h = int(config.eqr_height * fov / np.pi)
+        # reversed horizontal sweep (prepareTopImagesThread,
+        # TestRenderStereoPanorama.cpp:660-667)
+        ctx.top_warp = spherical_warp_for_camera(
+            cam,
+            (top_h, config.eqr_width),
+            2.0 * np.pi,
+            0.0,
+            np.pi / 2.0,
+            np.pi / 2.0 - fov,
+        )
+        ctx.top_h = top_h
+
+    if config.enable_bottom:
+        cam = rig.cameras[rig.bottom_camera_index]
+        fov = get_fov(cam)
+        bottom_h = int(config.eqr_height * fov / np.pi)
+        ctx.bottom_warp = spherical_warp_for_camera(
+            cam,
+            (bottom_h, config.eqr_width),
+            0.0,
+            2.0 * np.pi,
+            -np.pi / 2.0,
+            -(np.pi / 2.0 - fov),
+        )
+        ctx.bottom_h = bottom_h
+        if config.enable_pole_removal:
+            from ..geometry.camera import approximate_usable_pixels_radius
+
+            cam2 = rig.cameras[rig.bottom_camera2_index]
+            ctx.bottom_usable_radius = approximate_usable_pixels_radius(cam)
+            ctx.bottom2_usable_radius = approximate_usable_pixels_radius(cam2)
+            ctx.pole_flip180 = bool(
+                np.dot(np.asarray(cam.up), np.asarray(cam2.up)) < 0
+            )
+
+    if config.enable_top or config.enable_bottom:
+        # pole-to-side ramp geometry (poleToSideFlowThread,
+        # TestRenderStereoPanorama.cpp:454-481). NB the reference always
+        # uses the *bottom* camera's fov for poleCameraRadius, even on the
+        # top path (line 461) — replicated faithfully.
+        pole_cam = rig.cameras[rig.bottom_camera_index]
+        pole_radius = get_fov(pole_cam)
+        side_radius = rig_fov(sides, True)
+        crop_radius = 0.5 * (np.pi / 2 - side_radius) + 0.5 * min(
+            np.pi / 2, pole_radius
+        )
+        pole_radius_deg = np.degrees(pole_radius)
+        phi_from_pole = np.degrees(crop_radius)
+        phi_from_side = 90.0 - np.degrees(side_radius)
+        phi_mid = (phi_from_pole + phi_from_side) / 2.0
+        phi_diff = abs(phi_from_pole - phi_from_side)
+        ctx.pole_ramp_geometry = {
+            "pole_radius_deg": float(pole_radius_deg),
+            "phi_ramp_start": float(phi_mid - phi_diff / 2.0),
+            "phi_mid": float(phi_mid),
+            "phi_ramp_end": float(phi_mid + phi_diff / 2.0),
+        }
+    return ctx
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages
+# ---------------------------------------------------------------------------
+
+
+def _project_side_cameras(ctx: RenderContext, side_images):
+    """Feather source rows then remap each side camera into its spherical
+    strip (projectSideToSpherical, TestRenderStereoPanorama.cpp:99-135)."""
+    feather = ctx.config.side_alpha_feather_size
+    imgs = side_images
+    if feather:
+        H = imgs.shape[-2]
+        y = jnp.arange(H, dtype=jnp.float32)
+        ramp_top = jnp.minimum((y + 0.5) / feather, 1.0)
+        ramp_full = jnp.minimum(ramp_top, ramp_top[::-1])[None, :, None]
+        alpha = imgs[:, 3] * ramp_full
+        imgs = jnp.concatenate([imgs[:, :3], alpha[:, None]], axis=1)
+    coords = jnp.asarray(ctx.side_warps)
+    return remap(imgs, coords, interpolation="bicubic", border="constant")
+
+
+def _render_ring(ctx: RenderContext, projections, state, use_temporal):
+    """Pair flows + chunk renders + ring concat
+    (generateRingOfNovelViewsAndRenderStereoSpherical,
+    TestRenderStereoPanorama.cpp:295-385)."""
+    ov = ctx.overlap_w
+    flow_params = make_flow_params(ctx.config.side_flow_alg)
+    overlap_l = projections[..., ctx.strip_w - ov :]
+    overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
+
+    flow_ltr, flow_rtl = prepare_pair_flows(
+        overlap_l,
+        overlap_r,
+        flow_params,
+        prev_flow_l_to_r=state.get("pair_flow_ltr"),
+        prev_flow_r_to_l=state.get("pair_flow_rtl"),
+        prev_overlap_l=state.get("prev_overlap_l"),
+        prev_overlap_r=state.get("prev_overlap_r"),
+        use_temporal=use_temporal,
+    )
+
+    chunks_l, chunks_r = render_chunk_pair(
+        overlap_l,
+        overlap_r,
+        flow_ltr,
+        flow_rtl,
+        ctx.warp_cols_l,
+        ctx.t_cols,
+        ctx.warp_cols_r,
+    )
+    # (N, 4, sh, Wc) -> concat over pairs -> (4, sh, N * Wc)
+    pano_l = stack_horizontal([chunks_l[i] for i in range(chunks_l.shape[0])])
+    pano_r = stack_horizontal([chunks_r[i] for i in range(chunks_r.shape[0])])
+    pano_l = offset_horizontal_wrap(pano_l, ctx.zero_parallax_shift_px)
+    pano_r = offset_horizontal_wrap(pano_r, -ctx.zero_parallax_shift_px)
+
+    new_state = {
+        "pair_flow_ltr": flow_ltr,
+        "pair_flow_rtl": flow_rtl,
+        "prev_overlap_l": overlap_l,
+        "prev_overlap_r": overlap_r,
+    }
+    return pano_l, pano_r, new_state
+
+
+def _pad_to_height(img, target_h: int):
+    """Equal (+/-1) vertical zero padding (padToheight,
+    TestRenderStereoPanorama.cpp:701-713)."""
+    h = img.shape[-2]
+    above = (target_h - h) // 2
+    below = target_h - h - above
+    pad = [(0, 0)] * (img.ndim - 2) + [(above, below), (0, 0)]
+    return jnp.pad(img, pad)
+
+
+def _prepare_fisheye_strip(ctx, warp, strip_h, image, feather_size, alpha_min=False):
+    """Remap a fisheye camera into its spherical strip and feather the
+    bottom rows (prepareTop/BottomImagesThread,
+    TestRenderStereoPanorama.cpp:606-685)."""
+    spherical = remap(
+        image, jnp.asarray(warp), interpolation="bicubic", border="constant"
+    )
+    y = jnp.arange(strip_h, dtype=jnp.float32)
+    start = strip_h - 1 - feather_size
+    fade = jnp.clip(1.0 - (y - start) / feather_size, 0.0, 1.0)[:, None]
+    if alpha_min:
+        alpha = jnp.minimum(spherical[3], fade)
+    else:
+        alpha = jnp.broadcast_to(fade, spherical[3].shape)
+    return jnp.concatenate([spherical[:3], alpha[None]], axis=0)
+
+
+def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, state, use_temporal):
+    """Flow the fisheye strip onto both eye panoramas and composite
+    (poleToSideFlowThread, TestRenderStereoPanorama.cpp:388-561).
+
+    side_pano_2: (2, 4, eqr_h, eqr_w) both eyes stacked (left, right);
+    fisheye: (4, rows_f, eqr_w). Returns (2, 4, eqr_h, eqr_w) warped
+    fisheye layers + new state entries.
+    """
+    cfg = ctx.config
+    rows_f, eqr_w = fisheye.shape[-2:]
+    ext_w = int(eqr_w * 1.2)
+    max_blend_x = int(eqr_w * 0.2)
+    g = ctx.pole_ramp_geometry
+
+    cropped = side_pano_2[..., :rows_f, :]
+    cropped = feather_alpha(cropped, cfg.std_alpha_feather_size)
+
+    # extend horizontally with wrap (both eyes + the fisheye)
+    xs = np.arange(ext_w) % eqr_w
+    ext_side = cropped[..., xs]
+    ext_fish = jnp.broadcast_to(fisheye[None, ..., xs], (2,) + fisheye.shape[:-1] + (ext_w,))
+
+    flow_params = make_flow_params(cfg.polar_flow_alg)
+    hints = jnp.full((2,), HINT_DOWN, jnp.int32)
+    flow = compute_flow(
+        ext_side,
+        ext_fish,
+        flow_params,
+        hint=hints,
+        prev_flow=state.get(f"{state_key}_flow"),
+        prev_img0=state.get(f"{state_key}_prev_side"),
+        prev_img1=state.get(f"{state_key}_prev_fish"),
+        use_temporal=use_temporal,
+    )  # (2, 2, rows_f, ext_w)
+
+    # phi-ramped warp of the fisheye toward the sides
+    # (TestRenderStereoPanorama.cpp:483-503)
+    phi = g["pole_radius_deg"] * (
+        (jnp.arange(rows_f, dtype=jnp.float32) + 0.5) / rows_f
+    )
+    ramp_flow = 1.0 - ramp(phi, g["phi_ramp_start"], g["phi_mid"])  # (rows_f,)
+    warp_scale = (1.0 - ramp_flow)[None, :, None]
+    gy, gx = jnp.meshgrid(
+        jnp.arange(rows_f, dtype=jnp.float32),
+        jnp.arange(ext_w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    coords = jnp.stack(
+        [gx[None] + warp_scale * flow[:, 0], gy[None] + warp_scale * flow[:, 1]],
+        axis=1,
+    )
+    warped_ext = remap(ext_fish, coords, interpolation="bicubic", border="constant")
+
+    # fold the right extension back onto the left edge
+    # (TestRenderStereoPanorama.cpp:505-524)
+    main = warped_ext[..., :eqr_w]
+    x = jnp.arange(max_blend_x, dtype=jnp.float32)
+    blend = 1.0 - ramp(x, max_blend_x * 0.333, max_blend_x * 0.667)
+    wrap_strip = warped_ext[..., eqr_w : eqr_w + max_blend_x]
+    left_rgb = (
+        wrap_strip[:, :3] * blend[None, None, None, :]
+        + main[..., :3, :, :max_blend_x] * (1.0 - blend)[None, None, None, :]
+    )
+    rgb = jnp.concatenate([left_rgb, main[:, :3, :, max_blend_x:]], axis=-1)
+
+    # alpha ramp for blending with the sides
+    # (TestRenderStereoPanorama.cpp:526-536)
+    ramp_alpha = 1.0 - ramp(phi, g["phi_mid"], g["phi_ramp_end"])
+    alpha = main[:, 3] * ramp_alpha[None, :, None]
+    warped = jnp.concatenate([rgb, alpha[:, None]], axis=1)
+
+    # pad to full pano height (TestRenderStereoPanorama.cpp:538-546)
+    target_h = side_pano_2.shape[-2]
+    warped = jnp.pad(
+        warped, [(0, 0), (0, 0), (0, target_h - rows_f), (0, 0)]
+    )
+    new_state = {
+        f"{state_key}_flow": flow,
+        f"{state_key}_prev_side": ext_side,
+        f"{state_key}_prev_fish": ext_fish,
+    }
+    return warped, new_state
+
+
+def _cubemap(ctx: RenderContext, pano_rgb):
+    """Equirect -> stacked cubemap faces (convertSphericalToCubemap...,
+    ImageWarper.cpp:95-141 + stackOutputCubemapFaces, CvUtil.cpp:117-138)."""
+    cfg = ctx.config
+    eqr_h, eqr_w = pano_rgb.shape[-2:]
+    faces = {}
+    for face in CUBEMAP_FACE_ORDER:
+        warp = equirect_to_cubemap_warp(
+            (eqr_h, eqr_w), (cfg.cubemap_width, cfg.cubemap_height), face, np.pi
+        )
+        faces[face] = remap(
+            pano_rgb, jnp.asarray(warp), interpolation="bicubic", border="wrap"
+        )
+    if cfg.cubemap_format == "video":
+        first3 = [jnp.flip(faces[f], axis=-1) for f in ("left", "right", "top")]
+        second3 = [
+            jnp.flip(faces[f], axis=-1) for f in ("bottom", "back", "front")
+        ]
+        return jnp.concatenate(
+            [jnp.concatenate(first3, axis=-1), jnp.concatenate(second3, axis=-1)],
+            axis=-2,
+        )
+    # photo: vertical stack in face order
+    return jnp.concatenate([faces[f] for f in CUBEMAP_FACE_ORDER], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# the frame renderer
+# ---------------------------------------------------------------------------
+
+
+def render_frame(
+    ctx: RenderContext,
+    side_images,
+    top_image=None,
+    bottom_image=None,
+    state: dict | None = None,
+    use_temporal: bool = False,
+):
+    """Render one stereo frame (renderStereoPanorama,
+    TestRenderStereoPanorama.cpp:716-972).
+
+    side_images: (N, 4, H, W) RGBA float32 in camera order;
+    top_image/bottom_image: (4, H, W) (bottom_image should already be the
+    pole-removal combine when enabled — see render.pole).
+    state: temporal-regularization pytree from the previous frame (or {}).
+
+    Returns (outputs dict, new_state). outputs: "equirect" (4, 2*h, w)
+    stereo stacked L over R; optional "cubemap".
+    """
+    cfg = ctx.config
+    state = state or {}
+    new_state: dict[str, Any] = {}
+
+    projections = _project_side_cameras(ctx, side_images)
+    pano_l, pano_r, ring_state = _render_ring(
+        ctx, projections, state, use_temporal
+    )
+    new_state.update(ring_state)
+
+    pano_l = _pad_to_height(pano_l, cfg.eqr_height)
+    pano_r = _pad_to_height(pano_r, cfg.eqr_height)
+    pano2 = jnp.stack([pano_l, pano_r])  # (2, 4, eqr_h, eqr_w)
+
+    if cfg.enable_top:
+        top_strip = _prepare_fisheye_strip(
+            ctx, ctx.top_warp, ctx.top_h, top_image, cfg.std_alpha_feather_size
+        )
+        warped, st = _pole_to_side_flow(
+            ctx, pano2, top_strip, "top", state, use_temporal
+        )
+        new_state.update(st)
+        pano2 = flatten_layers_deghost_prefer_base(pano2, warped)
+
+    if cfg.enable_bottom:
+        bottom_strip = _prepare_fisheye_strip(
+            ctx,
+            ctx.bottom_warp,
+            ctx.bottom_h,
+            bottom_image,
+            cfg.std_alpha_feather_size,
+            alpha_min=True,
+        )
+        flipped = jnp.flip(pano2, axis=(-2, -1))
+        warped, st = _pole_to_side_flow(
+            ctx, flipped, bottom_strip, "bottom", state, use_temporal
+        )
+        new_state.update(st)
+        flipped = flatten_layers_deghost_prefer_base(flipped, warped)
+        pano2 = jnp.flip(flipped, axis=(-2, -1))
+
+    rgb2 = pano2[:, :3]
+
+    if cfg.sharpening > 0.0:
+        rgb2 = sharpen_iir(
+            rgb2,
+            amount=1.0 + cfg.sharpening,
+            iir_amount=0.25,
+            h_boundary="wrap",
+            v_boundary="reflect",
+        )
+
+    outputs = {}
+    if cfg.cubemap_width > 0 and cfg.cubemap_height > 0:
+        outputs["cubemap"] = jnp.concatenate(
+            [_cubemap(ctx, rgb2[0]), _cubemap(ctx, rgb2[1])], axis=-2
+        )
+
+    if (
+        cfg.final_eqr_width
+        and cfg.final_eqr_height
+        and (cfg.final_eqr_width, cfg.final_eqr_height // 2)
+        != (cfg.eqr_width, cfg.eqr_height)
+    ):
+        rgb2 = resize_cubic(
+            rgb2, (cfg.final_eqr_height // 2, cfg.final_eqr_width)
+        )
+
+    outputs["equirect"] = jnp.concatenate([rgb2[0], rgb2[1]], axis=-2)
+    return outputs, new_state
+
+
+def make_jitted_renderer(ctx: RenderContext, use_temporal: bool = False):
+    """Close over the context and jit the whole frame pipeline."""
+
+    @jax.jit
+    def fn(side_images, top_image, bottom_image, state):
+        return render_frame(
+            ctx,
+            side_images,
+            top_image,
+            bottom_image,
+            state,
+            use_temporal=use_temporal,
+        )
+
+    return fn

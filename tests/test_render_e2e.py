@@ -1,0 +1,160 @@
+"""End-to-end renderer tests on the synthetic capture simulator.
+
+The reference is validated against shipped sample datasets with expected
+renders (README.md:15-27). Hermetic equivalent: render an analytic
+at-infinity environment through the exact camera model, run the full
+pipeline, and compare against the analytically-derived expected equirect.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surround360_tpu.capture import (
+    checker_sinusoid_environment,
+    render_camera_views,
+    render_equirect_reference,
+)
+from surround360_tpu.geometry.rig import make_ring_rig
+from surround360_tpu.render.panorama import (
+    RenderConfig,
+    build_render_context,
+    render_frame,
+)
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+@pytest.fixture(scope="module")
+def rig():
+    # preview-scale rig: cameras rescaled 2048 -> 256 so warps, simulator
+    # views, and the render context share one resolution
+    return make_ring_rig().rescaled(0.125)
+
+
+@pytest.fixture(scope="module")
+def views(rig):
+    return render_camera_views(rig)
+
+
+@pytest.fixture(scope="module")
+def ring_render(rig, views):
+    cfg = RenderConfig(
+        eqr_width=280,
+        eqr_height=140,
+        side_flow_alg="pixflow_tpu",
+    )
+    ctx = build_render_context(rig, cfg)
+    side_images = jnp.asarray(
+        np.stack([views[i] for i in [rig.ids.index(s) for s in rig.side_ids]])
+    )
+    outputs, state = render_frame(ctx, side_images)
+    return ctx, outputs, state
+
+
+class TestRingRender:
+    def test_output_shape(self, ring_render):
+        ctx, outputs, _ = ring_render
+        assert outputs["equirect"].shape == (3, 2 * 140, 280)
+
+    def test_matches_analytic_reference(self, ring_render):
+        ctx, outputs, _ = ring_render
+        expect = render_equirect_reference(ctx)
+        eqr = np.asarray(outputs["equirect"])
+        left = eqr[:, :140]
+        right = eqr[:, 140:]
+        pad = (140 - ctx.strip_h) // 2
+        band = slice(pad + 6, pad + ctx.strip_h - 6)
+        p_l = psnr(left[:, band], expect[:, band])
+        p_r = psnr(right[:, band], expect[:, band])
+        assert p_l > 28.0, f"left-eye PSNR vs analytic reference: {p_l:.1f} dB"
+        assert p_r > 28.0, f"right-eye PSNR vs analytic reference: {p_r:.1f} dB"
+
+    def test_stereo_eyes_agree_at_infinity(self, ring_render):
+        # at-infinity scene: after the zero-parallax wrap shift both eyes
+        # must converge to the same panorama
+        ctx, outputs, _ = ring_render
+        eqr = np.asarray(outputs["equirect"])
+        pad = (140 - ctx.strip_h) // 2
+        band = slice(pad + 6, pad + ctx.strip_h - 6)
+        p = psnr(eqr[:, :140][:, band], eqr[:, 140:][:, band])
+        assert p > 30.0, f"L/R eye agreement at infinity: {p:.1f} dB"
+
+    def test_state_pytree_emitted(self, ring_render):
+        _, _, state = ring_render
+        assert "pair_flow_ltr" in state
+        assert state["pair_flow_ltr"].shape[0] == 14
+
+
+class TestFullSphereRender:
+    def test_top_bottom_composite_fills_poles(self, rig, views):
+        cfg = RenderConfig(
+            eqr_width=280,
+            eqr_height=140,
+            side_flow_alg="pixflow_tpu",
+            polar_flow_alg="pixflow_tpu",
+            enable_top=True,
+            enable_bottom=True,
+        )
+        ctx = build_render_context(rig, cfg)
+        side_images = jnp.asarray(
+            np.stack(
+                [views[i] for i in [rig.ids.index(s) for s in rig.side_ids]]
+            )
+        )
+        top = jnp.asarray(views[rig.top_camera_index])
+        bottom = jnp.asarray(views[rig.bottom_camera_index])
+        outputs, _ = render_frame(ctx, side_images, top, bottom)
+        eqr = np.asarray(outputs["equirect"])
+        left = eqr[:, :140]
+        # polar rows (outside the side band) must now have content
+        assert left[:, 2:6].std() > 0.01, "top pole rows are empty"
+        assert left[:, -6:-2].std() > 0.01, "bottom pole rows are empty"
+        # and the full sphere should resemble the environment: compare the
+        # top polar cap against the environment map directly
+        expect = render_equirect_reference(ctx)
+        pad = (140 - ctx.strip_h) // 2
+        band = slice(pad + 6, pad + ctx.strip_h - 6)
+        p = psnr(left[:, band], expect[:, band])
+        assert p > 25.0, f"full render side-band PSNR: {p:.1f} dB"
+
+    def test_cubemap_output(self, rig, views):
+        cfg = RenderConfig(
+            eqr_width=280,
+            eqr_height=140,
+            side_flow_alg="pixflow_tpu",
+            cubemap_width=64,
+            cubemap_height=64,
+            cubemap_format="video",
+        )
+        ctx = build_render_context(rig, cfg)
+        side_images = jnp.asarray(
+            np.stack(
+                [views[i] for i in [rig.ids.index(s) for s in rig.side_ids]]
+            )
+        )
+        outputs, _ = render_frame(ctx, side_images)
+        # video format: 3x2 faces per eye, stacked vertically for stereo
+        assert outputs["cubemap"].shape == (3, 2 * 2 * 64, 3 * 64)
+
+    def test_temporal_state_roundtrip(self, rig, views):
+        cfg = RenderConfig(
+            eqr_width=280, eqr_height=140, side_flow_alg="pixflow_tpu"
+        )
+        ctx = build_render_context(rig, cfg)
+        side_images = jnp.asarray(
+            np.stack(
+                [views[i] for i in [rig.ids.index(s) for s in rig.side_ids]]
+            )
+        )
+        out1, state1 = render_frame(ctx, side_images)
+        out2, state2 = render_frame(
+            ctx, side_images, state=state1, use_temporal=True
+        )
+        # static scene + temporal prior: frame 2 must match frame 1 closely
+        p = psnr(out1["equirect"], out2["equirect"])
+        assert p > 35.0, f"temporal stability on static scene: {p:.1f} dB"
