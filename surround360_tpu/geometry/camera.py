@@ -339,10 +339,13 @@ def approximate_usable_pixels_radius(cam: Camera) -> float:
 
 
 def rotation_from_angle_axis(angle_axis, xp=jnp):
-    """Rodrigues formula, safe at angle -> 0 (differentiable)."""
+    """Rodrigues formula, safe at angle -> 0 (differentiable). The guard
+    must not underflow in f32: divide by a where-protected angle (at
+    angle ~ 0 the axis is irrelevant since sin/1-cos both vanish)."""
     angle_axis = xp.asarray(angle_axis)
-    angle = xp.sqrt(xp.sum(angle_axis * angle_axis, axis=-1) + 1e-40)
-    axis = angle_axis / angle[..., None]
+    angle = xp.sqrt(xp.sum(angle_axis * angle_axis, axis=-1))
+    safe_angle = xp.where(angle < 1e-12, 1.0, angle)
+    axis = angle_axis / safe_angle[..., None]
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     c = xp.cos(angle)
     s = xp.sin(angle)
@@ -360,25 +363,57 @@ def rotation_from_angle_axis(angle_axis, xp=jnp):
 
 def angle_axis_from_rotation(rotation, xp=jnp):
     """Inverse of rotation_from_angle_axis (principal branch, angle in
-    [0, pi]). Safe near angle -> 0."""
-    rotation = xp.asarray(rotation)
-    trace = rotation[..., 0, 0] + rotation[..., 1, 1] + rotation[..., 2, 2]
-    cos_angle = (trace - 1.0) / 2.0
-    cos_angle = xp.clip(cos_angle, -1.0, 1.0)
-    angle = xp.arccos(cos_angle)
-    vec = xp.stack(
-        [
-            rotation[..., 2, 1] - rotation[..., 1, 2],
-            rotation[..., 0, 2] - rotation[..., 2, 0],
-            rotation[..., 1, 0] - rotation[..., 0, 1],
-        ],
-        axis=-1,
+    [0, pi]). Quaternion-based (Shepperd's method, branchless), so it is
+    well-conditioned at both angle -> 0 and angle -> pi (the naive
+    skew-vector formula returns 0/0 for the rig's 180-degree cameras)."""
+    R = xp.asarray(rotation)
+    r00, r01, r02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    r10, r11, r12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    r20, r21, r22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = r00 + r11 + r22
+
+    # four quaternion candidates (w, x, y, z), each stable in its region
+    def cand_w():
+        s = xp.sqrt(xp.maximum(1.0 + tr, 1e-20)) * 2.0
+        return xp.stack(
+            [0.25 * s, (r21 - r12) / s, (r02 - r20) / s, (r10 - r01) / s], -1
+        )
+
+    def cand_x():
+        s = xp.sqrt(xp.maximum(1.0 + r00 - r11 - r22, 1e-20)) * 2.0
+        return xp.stack(
+            [(r21 - r12) / s, 0.25 * s, (r01 + r10) / s, (r02 + r20) / s], -1
+        )
+
+    def cand_y():
+        s = xp.sqrt(xp.maximum(1.0 + r11 - r00 - r22, 1e-20)) * 2.0
+        return xp.stack(
+            [(r02 - r20) / s, (r01 + r10) / s, 0.25 * s, (r12 + r21) / s], -1
+        )
+
+    def cand_z():
+        s = xp.sqrt(xp.maximum(1.0 + r22 - r00 - r11, 1e-20)) * 2.0
+        return xp.stack(
+            [(r10 - r01) / s, (r02 + r20) / s, (r12 + r21) / s, 0.25 * s], -1
+        )
+
+    scores = xp.stack([tr, r00, r11, r22], -1)
+    best = xp.argmax(scores, axis=-1)[..., None]
+    q = xp.where(
+        best == 0,
+        cand_w(),
+        xp.where(best == 1, cand_x(), xp.where(best == 2, cand_y(), cand_z())),
     )
-    sin_angle = xp.sin(angle)
-    safe = xp.where(xp.abs(sin_angle) < 1e-12, 1.0, sin_angle)
-    # near angle=0, vec/(2 sin) -> vec/2 is the correct limit of axis*angle
-    scale = xp.where(xp.abs(sin_angle) < 1e-12, 0.5, angle / (2.0 * safe))
-    return vec * scale[..., None]
+    q = q / xp.sqrt(xp.sum(q * q, axis=-1, keepdims=True))
+    w = q[..., 0]
+    v = q[..., 1:]
+    vnorm = xp.sqrt(xp.sum(v * v, axis=-1))
+    angle = 2.0 * xp.arctan2(vnorm, xp.abs(w))
+    sign = xp.where(w < 0, -1.0, 1.0)
+    safe = xp.where(vnorm < 1e-20, 1.0, vnorm)
+    # angle -> 0 limit: aa = 2 v (since v ~ axis * angle/2)
+    scale = xp.where(vnorm < 1e-20, 2.0, angle / safe)
+    return v * (sign * scale)[..., None]
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin's sitecustomize sets jax_platforms via jax.config,
+# which overrides the JAX_PLATFORMS env var — force CPU at the same level
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # flow pyramids compile many per-shape programs; cache them across runs
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
