@@ -84,8 +84,11 @@ class CalibrationObservations:
 @dataclass
 class GeometricCalibrationConfig:
     passes: int = 10
-    lock_positions: bool = True  # --lock_positions default true? reference
-    # flag default false; pass 0 always locks positions
+    lock_positions: bool = True  # pass 0 always locks positions
+    lock_focal: bool = False  # lock focal beyond pass 0
+    lock_distortion: bool = False  # lock distortion beyond pass 0
+    lock_principal: bool = False  # rotation/principal degenerate on sparse
+    # overlap-only match graphs; lock when matches don't span the frame
     outlier_factor: float = 5.0
     robust: bool = True
     huber_delta: float = 1.0  # px
@@ -403,19 +406,19 @@ def calibrate_geometric(
 
     report = None
     for pass_idx in range(cfg.passes):
-        # outlier cull at factor x median (skip on first pass to let the
-        # solver pull things in first if the rig guess is bad)
+        # outlier cull at factor x median before each solve (refine(),
+        # GeometricCalibration.cpp:802-813 culls per pass, including the
+        # first — aliased gross outliers otherwise bend the cameras)
         errors = reprojection_errors(
             _params_to_rig(rig, cam_params), obs, points
         )
-        if pass_idx > 0:
-            med = np.median(errors)
-            keep = errors <= cfg.outlier_factor * max(med, 1e-9)
-            if keep.sum() < len(keep):
-                obs = obs.cull(keep)
-                points = triangulate_points(
-                    _params_to_rig(rig, cam_params), obs
-                )
+        med = np.median(errors)
+        keep = errors <= cfg.outlier_factor * max(med, 1e-9)
+        if keep.sum() < len(keep):
+            obs = obs.cull(keep)
+            points = triangulate_points(
+                _params_to_rig(rig, cam_params), obs
+            )
 
         residuals_fn, res_and_jac = _residuals_fn(rig, obs)
 
@@ -424,9 +427,12 @@ def calibrate_geometric(
         free = np.ones((len(rig.cameras), 11), dtype=bool)
         if pass_idx == 0 or cfg.lock_positions:
             free[:, 0:3] = False
-        if pass_idx == 0:
+        if pass_idx == 0 or cfg.lock_focal:
             free[:, 8] = False  # focal
+        if pass_idx == 0 or cfg.lock_distortion:
             free[:, 9:11] = False  # distortion
+        if cfg.lock_principal:
+            free[:, 6:8] = False
         free[0, :] = False
 
         cam_params, points, cost = _lm_solve(

@@ -80,6 +80,10 @@ class FlowParams(NamedTuple):
     # TPU reformulation knobs: two "sweeps", each = len(offsets) rounds
     prop_offsets: tuple = (4, 2, 1)
     use_probe_candidates: bool = False
+    # candidate-ranking sampler: "bilinear" (reference-faithful) or
+    # "nearest" (4x fewer gathers; needs integer probe candidates to keep
+    # sub-pixel proposals distinguishable)
+    rank_sampler: str = "bilinear"
     min_image_size: int = PYR_MIN_IMAGE_SIZE
 
 
@@ -98,6 +102,7 @@ def make_flow_params(name: str) -> FlowParams:
             pyr_scale_factor=0.5,
             prop_offsets=(8, 4, 2, 1),
             use_probe_candidates=True,
+            rank_sampler="nearest",
             min_image_size=12,
         )
     raise ValueError(f"unrecognized flow algorithm name: {name}")
@@ -148,6 +153,17 @@ def _sample_bilinear_extend(img, x, y):
     )
 
 
+def _sample_nearest_extend(img, x, y):
+    """Nearest-neighbor sample with edge clamp — 1 gather instead of 4.
+    Used only to *rank* propagation candidates (TPU gathers dominate the
+    flow runtime); the kept flow's error and the descent step still use
+    the reference's bilinear sampling."""
+    H, W = img.shape[-2:]
+    ix = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
+    return _gather_hw(img, iy, ix)
+
+
 def _sobel_k1(img, axis):
     """Sobel with ksize=1 ([-1, 0, 1], border replicate), matching
     PixFlow.h:356-359."""
@@ -188,15 +204,21 @@ def _box5(img):
 # ---------------------------------------------------------------------------
 
 
-def _error_field(flow, ctx, params: FlowParams):
+def _error_field(flow, ctx, params: FlowParams, sampler: str = "bilinear"):
     """Energy at every pixel for candidate ``flow`` (..., 2, H, W).
-    ``ctx`` holds I0x, I0y, I1x, I1y, blurred_flow, grid_x, grid_y."""
-    I0x, I0y, I1x, I1y, blurred_flow, gx, gy = ctx
+    ``ctx`` holds I0x, I0y, I1g (stacked I1x/I1y), blurred_flow, gx, gy.
+    ``sampler="nearest"`` is the cheap 1-gather mode used for candidate
+    ranking only."""
+    I0x, I0y, I1g, blurred_flow, gx, gy = ctx
     H, W = I0x.shape[-2:]
-    mx = gx + flow[..., 0, :, :]
-    my = gy + flow[..., 1, :, :]
-    i1x = _sample_bilinear_extend(I1x, mx, my)
-    i1y = _sample_bilinear_extend(I1y, mx, my)
+    mx = (gx + flow[..., 0, :, :])[..., None, :, :]
+    my = (gy + flow[..., 1, :, :])[..., None, :, :]
+    if sampler == "nearest":
+        g = _sample_nearest_extend(I1g, mx, my)
+    else:
+        g = _sample_bilinear_extend(I1g, mx, my)
+    i1x = g[..., 0, :, :]
+    i1y = g[..., 1, :, :]
     data = jnp.sqrt((I0x - i1x) ** 2 + (I0y - i1y) ** 2)
     fdiff = blurred_flow - flow
     smooth = jnp.sqrt(fdiff[..., 0, :, :] ** 2 + fdiff[..., 1, :, :] ** 2)
@@ -262,6 +284,8 @@ def _propagation_and_search(I0, I1, alpha0, alpha1, flow, params: FlowParams):
         a, GRADIENT_BLUR_SIGMA, ksize=GRADIENT_BLUR_KSIZE
     )
     I0x, I0y, I1x, I1y = blur(I0x), blur(I0y), blur(I1x), blur(I1y)
+    # stacked gradient image: one gather fetches both channels
+    I1g = jnp.stack([I1x, I1y], axis=-3)  # (B, 2, H, W)
 
     gy, gx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
@@ -273,7 +297,7 @@ def _propagation_and_search(I0, I1, alpha0, alpha1, flow, params: FlowParams):
         blurred_flow = gaussian_blur(
             flow, BLURRED_FLOW_SIGMA, ksize=BLURRED_FLOW_KSIZE
         )
-        ctx = (I0x, I0y, I1x, I1y, blurred_flow, gx, gy)
+        ctx = (I0x, I0y, I1g, blurred_flow, gx, gy)
 
         def round_fn(flow, d):
             # neighbor proposals at offset d in 4 directions, plus optional
@@ -298,12 +322,18 @@ def _propagation_and_search(I0, I1, alpha0, alpha1, flow, params: FlowParams):
                     )
                     candidates.append(flow + delta)
             cand = jnp.stack(candidates, axis=0)  # (K, B, 2, H, W)
-            errs = _error_field(cand, ctx, params)  # (K, B, H, W)
+            # rank candidates (optionally with the cheap nearest sampler —
+            # gathers dominate TPU runtime), then evaluate the winner with
+            # the reference's bilinear sampling
+            errs = _error_field(cand, ctx, params, sampler=params.rank_sampler)
             best = jnp.argmin(errs, axis=0)  # (B, H, W)
             flow_prop = jnp.take_along_axis(
                 cand, best[None, :, None, :, :], axis=0
             )[0]
-            curr_err = jnp.min(errs, axis=0)
+            if params.rank_sampler == "bilinear":
+                curr_err = jnp.min(errs, axis=0)
+            else:
+                curr_err = _error_field(flow_prop, ctx, params)
 
             # numeric-gradient descent step (PixFlow.h:195-217)
             ex = jnp.zeros_like(flow_prop).at[..., 0, :, :].add(GRAD_EPSILON)
