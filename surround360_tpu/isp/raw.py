@@ -20,7 +20,12 @@ __all__ = [
 
 def convert_8bit_frame(buf, width: int, height: int) -> np.ndarray:
     """8-bit raw -> uint16 via bit replication v * 0x101
-    (RawConverter.cpp:15-32)."""
+    (RawConverter.cpp:15-32). Uses the native C++ path when built."""
+    from ..native import convert8_native
+
+    native = convert8_native(buf, width, height)
+    if native is not None:
+        return native
     frame = np.frombuffer(buf, dtype=np.uint8, count=width * height)
     return (frame.astype(np.uint16) * 0x101).reshape(height, width)
 
@@ -32,7 +37,14 @@ def convert_12bit_frame(buf, width: int, height: int) -> np.ndarray:
     even x at byte offset p:   unswizzled = lo << 4 | (hi & 0xF)
     odd  x at byte offset p+1: unswizzled = hi << 4 | lo >> 4
     output = unswizzled << 4 | unswizzled >> 8
+
+    Uses the native C++ path when built.
     """
+    from ..native import convert12_native
+
+    native = convert12_native(buf, width, height)
+    if native is not None:
+        return native
     n_bytes = width * height * 3 // 2
     frame = np.frombuffer(buf, dtype=np.uint8, count=n_bytes).reshape(
         height, width * 3 // 2
