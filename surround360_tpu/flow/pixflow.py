@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.filters import median_filter
+from ..ops.filters import median_filter, median_filter_5x5_separable
 from ..ops.resize import gaussian_blur, resize_bilinear, resize_cubic
 
 HINT_UNKNOWN = 0
@@ -79,6 +79,10 @@ class FlowParams(NamedTuple):
     search_max_percentage: int = 0  # pixflow_search_20 -> 20
     # TPU reformulation knobs: two "sweeps", each = len(offsets) rounds
     prop_offsets: tuple = (4, 2, 1)
+    # shorter schedule for the finest level (it holds most of the pixels
+    # and its flow arrives mostly-correct from the coarser level); empty
+    # tuple = use prop_offsets everywhere
+    fine_prop_offsets: tuple = ()
     use_probe_candidates: bool = False
     # candidate-ranking sampler: "bilinear" (reference-faithful) or
     # "nearest" (4x fewer gathers; needs integer probe candidates to keep
@@ -101,6 +105,7 @@ def make_flow_params(name: str) -> FlowParams:
         return FlowParams(
             pyr_scale_factor=0.5,
             prop_offsets=(8, 4, 2, 1),
+            fine_prop_offsets=(2, 1),
             use_probe_candidates=True,
             rank_sampler="nearest",
             min_image_size=12,
@@ -272,9 +277,16 @@ def _shift_with_edge(arr, dy, dx):
 # ---------------------------------------------------------------------------
 
 
-def _propagation_and_search(I0, I1, alpha0, alpha1, flow, params: FlowParams):
+def _propagation_and_search(
+    I0, I1, alpha0, alpha1, flow, params: FlowParams, is_finest: bool = False
+):
     """One pyramid level. I0/I1/alpha0/alpha1: (B, H, W); flow (B, 2, H, W)."""
     B, H, W = I0.shape
+    offsets = (
+        params.fine_prop_offsets
+        if (is_finest and params.fine_prop_offsets)
+        else params.prop_offsets
+    )
 
     I0x = _sobel_k1(I0, -1)
     I0y = _sobel_k1(I0, -2)
@@ -347,15 +359,22 @@ def _propagation_and_search(I0, I1, alpha0, alpha1, flow, params: FlowParams):
             flow_new = flow_prop - params.gradient_step_size * gflow
             return jnp.where(gate[:, None], flow_new, flow), None
 
-        ds = jnp.asarray(params.prop_offsets, jnp.int32)
+        ds = jnp.asarray(offsets, jnp.int32)
         flow, _ = jax.lax.scan(round_fn, flow, ds)
         return flow
 
-    # two "sweeps" with a 5x5 median between and after (PixFlow.h:388-411)
+    # two "sweeps" with a 5x5 median between and after (PixFlow.h:388-411);
+    # the fast preset uses the separable 5-median (two 7-op networks vs a
+    # 25-element sort)
+    med = (
+        median_filter_5x5_separable
+        if params.rank_sampler == "nearest"
+        else lambda f: median_filter(f, MEDIAN_BLUR_SIZE)
+    )
     flow = sweep(flow)
-    flow = median_filter(flow, MEDIAN_BLUR_SIZE)
+    flow = med(flow)
     flow = sweep(flow)
-    flow = median_filter(flow, MEDIAN_BLUR_SIZE)
+    flow = med(flow)
 
     # low-alpha diffusion toward blurred flow (PixFlow.h:437-454)
     blurred_flow = gaussian_blur(flow, BLURRED_FLOW_SIGMA, ksize=BLURRED_FLOW_KSIZE)
@@ -528,7 +547,9 @@ def compute_flow(
                     I0l, I1l, a0l, a1l, flow, hint, params
                 )
 
-        flow = _propagation_and_search(I0l, I1l, a0l, a1l, flow, params)
+        flow = _propagation_and_search(
+            I0l, I1l, a0l, a1l, flow, params, is_finest=(level == 0)
+        )
 
         if use_temporal:
             # adjustFlowTowardPrevious (PixFlow.h:185-193)

@@ -291,18 +291,46 @@ def _stuck_pixel_removal(raw, cfg: IspConfig, red_mask, green_mask):
     return jnp.where(stuck, median, raw)
 
 
-@partial(jax.jit, static_argnames=("cfg", "skip_sharpen", "skip_tone_curve"))
+def resize_input_binned(raw, factor: int):
+    """Bayer-phase-preserving box binning by 1/2/4/8 (resizeInput,
+    CameraIsp.h:339-358): each output site averages factor^2 same-color
+    sites on the stride-2 color lattice."""
+    if factor == 1:
+        return raw
+    assert factor in (2, 4, 8), factor
+    H, W = raw.shape[-2:]
+    oh, ow = H // factor, W // factor
+    acc = None
+    ii = np.arange(oh)
+    jj = np.arange(ow)
+    for k in range(factor):
+        ip = ii * factor + k * 2
+        ipp = ip + (ii % 2)
+        ipp = np.where(ipp >= H, 2 * H - 1 - ipp, ipp)
+        for l in range(factor):
+            jp = jj * factor + l * 2
+            jpp = jp + (jj % 2)
+            jpp = np.where(jpp >= W, 2 * W - 1 - jpp, jpp)
+            s = raw[..., ipp[:, None], jpp[None, :]]
+            acc = s if acc is None else acc + s
+    return acc / (factor * factor)
+
+
+@partial(jax.jit, static_argnames=("cfg", "skip_sharpen", "skip_tone_curve", "resize"))
 def isp_process(
     raw,
     cfg: IspConfig,
     skip_sharpen: bool = False,
     skip_tone_curve: bool = False,
+    resize: int = 1,
 ):
     """Run the ISP on raw mosaiced data.
 
     raw: (..., H, W) float32 in [0, 1] (normalized by max pixel value).
+    resize: 1/2/4/8 bayer-preserving input binning (CameraIsp.h:339-358).
     Returns (..., 3, H, W) float32 RGB in [0, 1].
     """
+    raw = resize_input_binned(raw, resize)
     H, W = raw.shape[-2:]
     red_np, green_np, blue_np, rgr_np = bayer_masks(cfg, H, W)
     red_mask = jnp.asarray(red_np)

@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["iir_lowpass_2d", "sharpen_iir", "median_filter"]
+__all__ = [
+    "iir_lowpass_2d",
+    "sharpen_iir",
+    "median_filter",
+    "median_filter_5x5_separable",
+]
 
 
 @lru_cache(maxsize=128)
@@ -107,6 +112,33 @@ def sharpen_iir(
     hp = img - lp
     gain = 1.0 - jnp.exp(-(hp * hp) * (noise_core * 65025.0))
     return jnp.clip(lp + hp * gain * amount, 0.0, 1.0)
+
+
+def _median5(a, b, c, d, e):
+    """Exact median of 5 via a 7-op min/max network."""
+    f = jnp.maximum(jnp.minimum(a, b), jnp.minimum(c, d))
+    g = jnp.minimum(jnp.maximum(a, b), jnp.maximum(c, d))
+    return jnp.maximum(jnp.minimum(jnp.maximum(f, g), e), jnp.minimum(f, g))
+
+
+@partial(jax.jit, static_argnames=())
+def median_filter_5x5_separable(img):
+    """Separable approximation of the 5x5 median (median of row medians):
+    two 5-tap median networks instead of a 25-element sort — the flow
+    smoother's hot path on TPU. Edge replication like cv::medianBlur."""
+    img = jnp.asarray(img, jnp.float32)
+
+    def axis_median(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (2, 2)
+        p = jnp.pad(x, pad, mode="edge")
+        n = x.shape[axis]
+        taps = [
+            jax.lax.slice_in_dim(p, k, k + n, axis=axis) for k in range(5)
+        ]
+        return _median5(*taps)
+
+    return axis_median(axis_median(img, -1), -2)
 
 
 @partial(jax.jit, static_argnames=("size",))

@@ -244,3 +244,31 @@ class TestFootage:
             f.write(b"\0" * 8192)
         with pytest.raises(ValueError, match="magic"):
             BinaryFootageReader(path)
+
+
+class TestResizeInput:
+    def test_binned_pipeline_preserves_colors(self):
+        cfg = IspConfig(bayer_pattern="GBRG")
+        # constant color scene: R=0.8, G=0.5, B=0.2
+        rgb = np.zeros((3, 64, 64), np.float32)
+        rgb[0], rgb[1], rgb[2] = 0.8, 0.5, 0.2
+        raw = mosaic(rgb, cfg)
+        import jax.numpy as jnp
+
+        out = np.asarray(isp_process(jnp.asarray(raw), cfg, resize=2))
+        assert out.shape == (3, 32, 32)
+        np.testing.assert_allclose(out[0, 4:-4, 4:-4], 0.8, atol=0.02)
+        np.testing.assert_allclose(out[1, 4:-4, 4:-4], 0.5, atol=0.02)
+        np.testing.assert_allclose(out[2, 4:-4, 4:-4], 0.2, atol=0.02)
+
+    def test_binned_matches_full_on_smooth_scene(self):
+        import jax.numpy as jnp
+
+        cfg = IspConfig()
+        rgb = smooth_rgb(64, 64, seed=11)
+        raw = mosaic(rgb, cfg)
+        full = np.asarray(isp_process(jnp.asarray(raw), cfg))
+        binned = np.asarray(isp_process(jnp.asarray(raw), cfg, resize=2))
+        # downsample the full-res output for comparison
+        ref = full.reshape(3, 32, 2, 32, 2).mean(axis=(2, 4))
+        assert np.abs(binned[:, 4:-4, 4:-4] - ref[:, 4:-4, 4:-4]).mean() < 0.02
