@@ -245,6 +245,33 @@ def delta_e_report(
     }
 
 
+def build_color_adjustment_model(
+    target_rgba: np.ndarray,  # (4, H, W) float [0,1]
+    adjust_rgba: np.ndarray,
+    sample_rate: int = 100,
+    alpha_threshold: float = 250.0 / 255.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Affine color-difference model between two overlapping images
+    (buildColorAdjustmentModel, CvUtil.cpp:262-310): least-squares fit of
+    [1, r, g, b] -> (target - adjust) over randomly sampled pixels where
+    both alphas are (nearly) opaque. Returns (4, 3) coefficients; apply as
+    adjusted = adjust + features @ M."""
+    rng = np.random.default_rng(seed)
+    t = np.moveaxis(np.asarray(target_rgba), 0, -1).reshape(-1, 4)
+    a = np.moveaxis(np.asarray(adjust_rgba), 0, -1).reshape(-1, 4)
+    opaque = (t[:, 3] > alpha_threshold) & (a[:, 3] > alpha_threshold)
+    sampled = opaque & (rng.integers(0, sample_rate, len(t)) == 0)
+    if sampled.sum() < 8:
+        sampled = opaque
+    feats = np.concatenate(
+        [np.ones((sampled.sum(), 1)), a[sampled, :3]], axis=1
+    )
+    deltas = a[sampled, :3] - t[sampled, :3]
+    coef, *_ = np.linalg.lstsq(feats, deltas, rcond=None)
+    return -coef  # model predicts the correction toward the target
+
+
 def detect_color_chart(
     image_rgb: np.ndarray,  # (3, H, W) float [0,1]
     num_cols: int = 6,

@@ -75,6 +75,10 @@ class RenderConfig:
     side_flow_alg: str = "pixflow_low"
     polar_flow_alg: str = "pixflow_low"
     poleremoval_flow_alg: str = "pixflow_low"
+    # compute the pole-to-side flow on inputs downscaled by this factor
+    # (the field is smooth and gets blurred anyway); 4x cheaper and avoids
+    # a TPU-worker fault observed on very wide flow shapes. 1.0 = full res.
+    polar_flow_scale: float = 0.5
     cubemap_width: int = 0
     cubemap_height: int = 0
     cubemap_format: str = "video"
@@ -352,16 +356,39 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
 
     flow_params = make_flow_params(cfg.polar_flow_alg)
     hints = jnp.full((2,), HINT_DOWN, jnp.int32)
-    flow = compute_flow(
-        ext_side,
-        ext_fish,
-        flow_params,
-        hint=hints,
-        prev_flow=state.get(f"{state_key}_flow"),
-        prev_img0=state.get(f"{state_key}_prev_side"),
-        prev_img1=state.get(f"{state_key}_prev_fish"),
-        use_temporal=use_temporal,
-    )  # (2, 2, rows_f, ext_w)
+    scale = cfg.polar_flow_scale
+    if scale != 1.0:
+        from ..ops.resize import resize_area, resize_bilinear
+
+        fh, fw = int(rows_f * scale), int(ext_w * scale)
+        flow_small = compute_flow(
+            resize_area(ext_side, (fh, fw)),
+            resize_area(ext_fish, (fh, fw)),
+            flow_params,
+            hint=hints,
+            prev_flow=None
+            if state.get(f"{state_key}_flow") is None
+            else resize_area(state[f"{state_key}_flow"], (fh, fw)) * scale,
+            prev_img0=None
+            if state.get(f"{state_key}_prev_side") is None
+            else resize_area(state[f"{state_key}_prev_side"], (fh, fw)),
+            prev_img1=None
+            if state.get(f"{state_key}_prev_fish") is None
+            else resize_area(state[f"{state_key}_prev_fish"], (fh, fw)),
+            use_temporal=use_temporal,
+        )
+        flow = resize_bilinear(flow_small, (rows_f, ext_w)) / scale
+    else:
+        flow = compute_flow(
+            ext_side,
+            ext_fish,
+            flow_params,
+            hint=hints,
+            prev_flow=state.get(f"{state_key}_flow"),
+            prev_img0=state.get(f"{state_key}_prev_side"),
+            prev_img1=state.get(f"{state_key}_prev_fish"),
+            use_temporal=use_temporal,
+        )  # (2, 2, rows_f, ext_w)
 
     # phi-ramped warp of the fisheye toward the sides
     # (TestRenderStereoPanorama.cpp:483-503)

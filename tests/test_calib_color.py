@@ -160,3 +160,20 @@ class TestVignetting:
         surf = bezier_curve_batch(fit.bezier_x[0], ts, xp=np)
         product = gain * surf
         assert product.std() / product.mean() < 0.01, product
+
+
+class TestColorAdjustmentModel:
+    def test_recovers_affine_shift(self):
+        from surround360_tpu.calib.color import build_color_adjustment_model
+
+        rng = np.random.default_rng(7)
+        base = rng.random((3, 64, 64)).astype(np.float32) * 0.8
+        target = np.concatenate([base, np.ones((1, 64, 64), np.float32)])
+        shifted = base + np.array([0.05, -0.03, 0.02], np.float32)[:, None, None]
+        adjust = np.concatenate(
+            [shifted, np.ones((1, 64, 64), np.float32)]
+        )
+        M = build_color_adjustment_model(target, adjust, sample_rate=4)
+        feats = np.array([1.0, 0.5, 0.5, 0.5])
+        corr = feats @ M
+        np.testing.assert_allclose(corr, [-0.05, 0.03, -0.02], atol=0.01)
