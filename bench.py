@@ -36,10 +36,7 @@ def main():
         make_jitted_renderer,
     )
 
-    # default kept at a size that completes reliably on the axon tunnel:
-    # the 1008-wide full-sphere graph currently faults the TPU worker
-    # (under investigation); ring-only runs fine up to 1008+.
-    eqr_w = int(os.environ.get("S360_BENCH_EQR_WIDTH", "560"))
+    eqr_w = int(os.environ.get("S360_BENCH_EQR_WIDTH", "1008"))
     cam_scale = float(os.environ.get("S360_BENCH_CAM_SCALE", "0.25"))
     n_frames = int(os.environ.get("S360_BENCH_FRAMES", "5"))
     full_sphere = os.environ.get("S360_BENCH_FULL_SPHERE", "1") == "1"
