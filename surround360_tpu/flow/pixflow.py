@@ -169,6 +169,48 @@ def _sample_nearest_extend(img, x, y):
     return _gather_hw(img, iy, ix)
 
 
+# Max elements of the intermediate (B, C, P, H) tensor for the matmul
+# sampler; above this the gather path is used. 192M bf16 ~ 384 MB.
+MATMUL_SAMPLER_MAX_ELEMS = 192 * 1024 * 1024
+
+
+def _sample_bilinear_matmul(img, x, y):
+    """Exact bilinear-extend sampling as two MXU matmuls instead of
+    gathers: out = OHy . (OHx . img) where OHx/OHy are per-pixel 2-hot
+    interpolation matrices. XLA:TPU lowers arbitrary gathers to a ~80M
+    elem/s scalar loop while the MXU runs these matmuls effectively for
+    free at pyramid-level sizes; the wasted work (stage A computes every
+    row's x-sample) is the price, so callers gate on
+    MATMUL_SAMPLER_MAX_ELEMS.
+
+    img (B, C, H, W); x, y (B, H, W) -> (B, C, H, W)."""
+    B, C, H, W = img.shape
+    P = H * W
+    xf = jnp.clip(x.reshape(B, P), 0.0, W - 2.0)
+    yf = jnp.clip(y.reshape(B, P), 0.0, H - 2.0)
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    tx = (xf - x0)[..., None]
+    ty = (yf - y0)[..., None]
+    ix0 = x0.astype(jnp.int32)[..., None]
+    iy0 = y0.astype(jnp.int32)[..., None]
+    wgrid = jnp.arange(W, dtype=jnp.int32)
+    hgrid = jnp.arange(H, dtype=jnp.int32)
+    # full f32 matmuls: the numeric energy gradient differences values at
+    # eps=1e-3, which bf16 sampling noise would swamp
+    ohx = (
+        (wgrid == ix0) * (1.0 - tx) + (wgrid == ix0 + 1) * tx
+    ).astype(jnp.float32)  # (B, P, W)
+    ohy = (
+        (hgrid == iy0) * (1.0 - ty) + (hgrid == iy0 + 1) * ty
+    ).astype(jnp.float32)  # (B, P, H)
+    tmp = jnp.einsum(
+        "bpw,bchw->bcph", ohx, img, precision="float32"
+    )
+    out = jnp.einsum("bph,bcph->bcp", ohy, tmp, precision="float32")
+    return out.reshape(B, C, H, W)
+
+
 def _sobel_k1(img, axis):
     """Sobel with ksize=1 ([-1, 0, 1], border replicate), matching
     PixFlow.h:356-359."""
@@ -216,12 +258,18 @@ def _error_field(flow, ctx, params: FlowParams, sampler: str = "bilinear"):
     ranking only."""
     I0x, I0y, I1g, blurred_flow, gx, gy = ctx
     H, W = I0x.shape[-2:]
-    mx = (gx + flow[..., 0, :, :])[..., None, :, :]
-    my = (gy + flow[..., 1, :, :])[..., None, :, :]
-    if sampler == "nearest":
-        g = _sample_nearest_extend(I1g, mx, my)
+    if sampler == "matmul":
+        # exact bilinear via MXU matmuls; flow must be unbatched (B,2,H,W)
+        g = _sample_bilinear_matmul(
+            I1g, gx + flow[..., 0, :, :], gy + flow[..., 1, :, :]
+        )
     else:
-        g = _sample_bilinear_extend(I1g, mx, my)
+        mx = (gx + flow[..., 0, :, :])[..., None, :, :]
+        my = (gy + flow[..., 1, :, :])[..., None, :, :]
+        if sampler == "nearest":
+            g = _sample_nearest_extend(I1g, mx, my)
+        else:
+            g = _sample_bilinear_extend(I1g, mx, my)
     i1x = g[..., 0, :, :]
     i1y = g[..., 1, :, :]
     data = jnp.sqrt((I0x - i1x) ** 2 + (I0y - i1y) ** 2)
@@ -305,6 +353,13 @@ def _propagation_and_search(
     )
     gate = (alpha0 > UPDATE_ALPHA_THRESHOLD) & (alpha1 > UPDATE_ALPHA_THRESHOLD)
 
+    # pick the sampling backend for this level's static shape: MXU one-hot
+    # matmuls beat XLA's scalar-loop gathers by ~2 orders of magnitude but
+    # waste work proportional to H, so gate on the stage-A tensor size
+    use_matmul = (B * 2 * H * W * H) <= MATMUL_SAMPLER_MAX_ELEMS
+    eval_sampler = "matmul" if use_matmul else "bilinear"
+    rank_sampler = "matmul" if use_matmul else params.rank_sampler
+
     def sweep(flow):
         blurred_flow = gaussian_blur(
             flow, BLURRED_FLOW_SIGMA, ksize=BLURRED_FLOW_KSIZE
@@ -334,15 +389,19 @@ def _propagation_and_search(
                     )
                     candidates.append(flow + delta)
             cand = jnp.stack(candidates, axis=0)  # (K, B, 2, H, W)
-            # rank candidates (optionally with the cheap nearest sampler —
-            # gathers dominate TPU runtime), then evaluate the winner with
-            # the reference's bilinear sampling
-            errs = _error_field(cand, ctx, params, sampler=params.rank_sampler)
+            # rank candidates, then evaluate the winner exactly
+            if rank_sampler == "matmul":
+                errs = jax.lax.map(
+                    lambda f: _error_field(f, ctx, params, sampler="matmul"),
+                    cand,
+                )
+            else:
+                errs = _error_field(cand, ctx, params, sampler=rank_sampler)
             best = jnp.argmin(errs, axis=0)  # (B, H, W)
             flow_prop = jnp.take_along_axis(
                 cand, best[None, :, None, :, :], axis=0
             )[0]
-            if params.rank_sampler == "bilinear":
+            if rank_sampler in ("bilinear", "matmul"):
                 curr_err = jnp.min(errs, axis=0)
             else:
                 curr_err = _error_field(flow_prop, ctx, params)
@@ -350,8 +409,8 @@ def _propagation_and_search(
             # numeric-gradient descent step (PixFlow.h:195-217)
             ex = jnp.zeros_like(flow_prop).at[..., 0, :, :].add(GRAD_EPSILON)
             ey = jnp.zeros_like(flow_prop).at[..., 1, :, :].add(GRAD_EPSILON)
-            err_x = _error_field(flow_prop + ex, ctx, params)
-            err_y = _error_field(flow_prop + ey, ctx, params)
+            err_x = _error_field(flow_prop + ex, ctx, params, sampler=eval_sampler)
+            err_y = _error_field(flow_prop + ey, ctx, params, sampler=eval_sampler)
             gflow = (
                 jnp.stack([err_x - curr_err, err_y - curr_err], axis=-3)
                 / GRAD_EPSILON
