@@ -111,13 +111,92 @@ def _remap_single(img, coords, interpolation, border):
     return out
 
 
-@partial(jax.jit, static_argnames=("interpolation", "border"))
-def remap(img, coords, interpolation: str = "bicubic", border: str = "constant"):
+# Peak f32 elements allowed for one matmul-remap chunk's (C, Pc, H)
+# intermediate (per batch element handled by vmap on top).
+_REMAP_MATMUL_CHUNK_ELEMS = 12 * 1024 * 1024
+
+
+def _onehot_weights_1d(taps_weights, n, mode):
+    """Interpolation matrix (P, n): sum over taps of (grid == idx) * w.
+    mode: "constant" (out-of-range taps get zero weight), "wrap", or
+    "clamp" (edge replication)."""
+    grid = jnp.arange(n, dtype=jnp.int32)
+    out = None
+    for idx, w in taps_weights:
+        if mode == "wrap":
+            idx = jnp.mod(idx, n)
+        elif mode == "clamp":
+            idx = jnp.clip(idx, 0, n - 1)
+        hit = (grid[None, :] == idx[:, None]).astype(jnp.float32) * w[:, None]
+        out = hit if out is None else out + hit
+    return out
+
+
+def _remap_matmul_single(img, coords, interpolation, border):
+    """Remap as two one-hot interpolation matmuls (MXU) instead of gathers
+    (XLA:TPU gathers lower to a slow scalar loop). Chunked over output rows
+    to bound the (C, Pc, Hsrc) intermediate."""
+    C, H, W = img.shape
+    _, Ho, Wo = coords.shape
+
+    rows_per_chunk = max(1, _REMAP_MATMUL_CHUNK_ELEMS // max(C * Wo * H, 1))
+    rows_per_chunk = min(rows_per_chunk, Ho)
+    n_chunks = -(-Ho // rows_per_chunk)
+    pad_rows = n_chunks * rows_per_chunk - Ho
+    coords_p = jnp.pad(coords, [(0, 0), (0, pad_rows), (0, 0)])
+    chunks = coords_p.reshape(2, n_chunks, rows_per_chunk, Wo).transpose(
+        1, 0, 2, 3
+    )
+
+    def taps_1d(t, i0):
+        if interpolation == "bilinear":
+            return [(i0, 1.0 - t), (i0 + 1, t)]
+        w0, w1, w2, w3 = _cubic_weights(t)
+        return [(i0 - 1, w0), (i0, w1), (i0 + 1, w2), (i0 + 2, w3)]
+
+    def chunk_fn(co):
+        x = co[0].reshape(-1)
+        y = co[1].reshape(-1)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        # gather-path parity: "wrap" wraps x but clamps y (_gather2d)
+        x_mode = "wrap" if border == "wrap" else "constant"
+        y_mode = "clamp" if border == "wrap" else "constant"
+        ohx = _onehot_weights_1d(_pairs(taps_1d(x - x0, ix0)), W, x_mode)
+        ohy = _onehot_weights_1d(_pairs(taps_1d(y - y0, iy0)), H, y_mode)
+        tmp = jnp.einsum("pw,chw->cph", ohx, img, precision="float32")
+        out = jnp.einsum("ph,cph->cp", ohy, tmp, precision="float32")
+        return out.reshape(C, rows_per_chunk, Wo)
+
+    out = jax.lax.map(chunk_fn, chunks)  # (n_chunks, C, rc, Wo)
+    out = out.transpose(1, 0, 2, 3).reshape(C, n_chunks * rows_per_chunk, Wo)
+    return out[:, :Ho]
+
+
+def _pairs(taps):
+    return [(idx, jnp.broadcast_to(w, idx.shape)) for idx, w in taps]
+
+
+@partial(jax.jit, static_argnames=("interpolation", "border", "method"))
+def remap(
+    img,
+    coords,
+    interpolation: str = "bicubic",
+    border: str = "constant",
+    method: str = "auto",
+):
     """Resample ``img`` at ``coords``.
 
     img: (..., C, H, W); coords: (..., 2, Ho, Wo) in (x, y) source pixels.
     Leading batch dims of img and coords broadcast against each other
     (vmapped). Returns (..., C, Ho, Wo).
+
+    method: "gather" | "matmul" | "auto". On TPU the matmul path (one-hot
+    interpolation matrices on the MXU) is ~an order of magnitude faster
+    than XLA's scalar-loop gathers; "auto" uses it except on CPU where
+    native gathers win.
     """
     img = jnp.asarray(img)
     coords = jnp.asarray(coords)
@@ -126,7 +205,14 @@ def remap(img, coords, interpolation: str = "bicubic", border: str = "constant")
     batch = jnp.broadcast_shapes(ibatch, cbatch)
     img_b = jnp.broadcast_to(img, batch + img.shape[-3:])
     coords_b = jnp.broadcast_to(coords, batch + coords.shape[-3:])
-    fn = lambda im, co: _remap_single(im, co, interpolation, border)
+    if method == "auto":
+        method = (
+            "matmul" if jax.default_backend() not in ("cpu",) else "gather"
+        )
+    if method == "matmul":
+        fn = lambda im, co: _remap_matmul_single(im, co, interpolation, border)
+    else:
+        fn = lambda im, co: _remap_single(im, co, interpolation, border)
     for _ in batch:
         fn = jax.vmap(fn)
     return fn(img_b, coords_b)

@@ -245,3 +245,19 @@ class TestWarp:
         w = warp_mod.equirect_to_cubemap_warp((128, 256), (64, 64), "top")
         # top face center looks along +z -> phi ~ 0
         assert w[1, 32, 32] < 8.0
+
+
+class TestRemapMatmulBackend:
+    @pytest.mark.parametrize("interp", ["bilinear", "bicubic"])
+    @pytest.mark.parametrize("border", ["constant", "wrap"])
+    def test_matches_gather_backend(self, interp, border):
+        # the TPU fast path (one-hot interpolation matmuls) must agree with
+        # the gather path to f32 epsilon, including out-of-range coords
+        rng = np.random.default_rng(42)
+        img = jnp.asarray(rng.random((3, 40, 56)), jnp.float32)
+        xs = jnp.asarray(rng.random((30, 44)) * 70 - 8, jnp.float32)
+        ys = jnp.asarray(rng.random((30, 44)) * 52 - 6, jnp.float32)
+        coords = jnp.stack([xs, ys])
+        a = np.asarray(remap(img, coords, interp, border, method="gather"))
+        b = np.asarray(remap(img, coords, interp, border, method="matmul"))
+        np.testing.assert_allclose(a, b, atol=1e-5)
