@@ -295,14 +295,20 @@ def _error_field(flow, ctx, params: FlowParams, sampler: str = "bilinear"):
     return err
 
 
-def _shift_traced(arr, dy, dx):
-    """Shift (..., H, W) content by (dy, dx) pixels (traced scalars ok)
-    with edge replication: the value landing at p came from p - (dy, dx),
-    clamped to the frame."""
+def _shift_traced(arr, dy, dx, fallback):
+    """Shift (..., H, W) content by (dy, dx) pixels (traced scalars ok);
+    positions whose source falls outside the frame take ``fallback``
+    (out-of-range neighbor proposals become no-ops, like the reference
+    sweep skipping nonexistent neighbors). roll + iota masks — no gather
+    (XLA:TPU gathers are scalar loops)."""
     H, W = arr.shape[-2:]
-    ys = jnp.clip(jnp.arange(H) - dy, 0, H - 1)
-    xs = jnp.clip(jnp.arange(W) - dx, 0, W - 1)
-    return arr[..., ys[:, None], xs[None, :]]
+    rolled = jnp.roll(arr, (dy, dx), axis=(-2, -1))
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    yv = (ys - dy >= 0) & (ys - dy < H)
+    xv = (xs - dx >= 0) & (xs - dx < W)
+    valid = yv[:, None] & xv[None, :]
+    return jnp.where(valid, rolled, fallback)
 
 
 def _shift_with_edge(arr, dy, dx):
@@ -373,7 +379,7 @@ def _propagation_and_search(
             # they let coarser pyramids escape the ~1px descent basin).
             # d is traced so all rounds share one compiled body (lax.scan).
             candidates = [flow] + [
-                _shift_traced(flow, dy * d, dx * d)
+                _shift_traced(flow, dy * d, dx * d, flow)
                 for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0))
             ]
             if params.use_probe_candidates:
@@ -398,9 +404,13 @@ def _propagation_and_search(
             else:
                 errs = _error_field(cand, ctx, params, sampler=rank_sampler)
             best = jnp.argmin(errs, axis=0)  # (B, H, W)
-            flow_prop = jnp.take_along_axis(
-                cand, best[None, :, None, :, :], axis=0
-            )[0]
+            # one-hot select instead of take_along_axis (scalar-loop gather)
+            K = cand.shape[0]
+            onehot = (
+                best[None, :, None, :, :]
+                == jnp.arange(K, dtype=best.dtype)[:, None, None, None, None]
+            )
+            flow_prop = jnp.sum(jnp.where(onehot, cand, 0.0), axis=0)
             if rank_sampler in ("bilinear", "matmul"):
                 curr_err = jnp.min(errs, axis=0)
             else:
