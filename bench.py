@@ -40,6 +40,7 @@ def main():
     cam_scale = float(os.environ.get("S360_BENCH_CAM_SCALE", "0.25"))
     n_frames = int(os.environ.get("S360_BENCH_FRAMES", "5"))
     full_sphere = os.environ.get("S360_BENCH_FULL_SPHERE", "1") == "1"
+    frame_batch = int(os.environ.get("S360_BENCH_BATCH", "1"))
     eqr_h = eqr_w // 2
 
     rig = make_ring_rig().rescaled(cam_scale)
@@ -59,18 +60,49 @@ def main():
         jnp.asarray(views[rig.bottom_camera_index]) if full_sphere else None
     )
 
-    render = make_jitted_renderer(ctx)
-    # compile + warmup; force materialization (block_until_ready alone has
-    # proven unreliable on the experimental axon platform)
-    outputs, _ = render(side, top, bottom, None)
-    np.asarray(outputs["equirect"])
+    if frame_batch > 1:
+        import jax as _jax
+        from surround360_tpu.render.panorama import render_frame
 
-    t0 = time.time()
-    for _ in range(n_frames):
+        fside = jnp.broadcast_to(side, (frame_batch,) + side.shape)
+        ftop = (
+            jnp.broadcast_to(top, (frame_batch,) + top.shape)
+            if top is not None
+            else None
+        )
+        fbot = (
+            jnp.broadcast_to(bottom, (frame_batch,) + bottom.shape)
+            if bottom is not None
+            else None
+        )
+
+        @_jax.jit
+        def render_batch(s, t, b):
+            return _jax.vmap(
+                lambda s1, t1, b1: render_frame(ctx, s1, t1, b1)[0]["equirect"]
+            )(s, t, b)
+
+        out = render_batch(fside, ftop, fbot)
+        np.asarray(out[0, 0, 0, 0])
+        t0 = time.time()
+        for _ in range(n_frames):
+            out = render_batch(fside, ftop, fbot)
+            np.asarray(out[0, 0, 0, 0])
+        dt = (time.time() - t0) / (n_frames * frame_batch)
+        fps = 1.0 / dt
+    else:
+        render = make_jitted_renderer(ctx)
+        # compile + warmup; force materialization (block_until_ready alone
+        # has proven unreliable on the experimental axon platform)
         outputs, _ = render(side, top, bottom, None)
-        np.asarray(outputs["equirect"][0, 0, 0])  # sync point per frame
-    dt = (time.time() - t0) / n_frames
-    fps = 1.0 / dt
+        np.asarray(outputs["equirect"])
+
+        t0 = time.time()
+        for _ in range(n_frames):
+            outputs, _ = render(side, top, bottom, None)
+            np.asarray(outputs["equirect"][0, 0, 0])  # sync point per frame
+        dt = (time.time() - t0) / n_frames
+        fps = 1.0 / dt
 
     print(
         json.dumps(
@@ -78,7 +110,8 @@ def main():
                 "metric": (
                     f"stereo equirect render fps ({eqr_w}x{eqr_h} per eye, "
                     f"full pipeline incl. 28 pair flows"
-                    f"{' + top/bottom pole composite' if full_sphere else ''}, "
+                    f"{' + top/bottom pole composite' if full_sphere else ''}"
+                    f"{f', batch {frame_batch}' if frame_batch > 1 else ''}, "
                     f"1 chip)"
                 ),
                 "value": round(fps, 3),
