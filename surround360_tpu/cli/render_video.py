@@ -130,7 +130,33 @@ def render_video(
             bottom,
             state=state,
             use_temporal=state is not None,
+            save_debug=save_debug_images,
         )
+        if save_debug_images and "debug" in outputs:
+            dbg_dir = os.path.join(output_dir, "debug", frame_name)
+            os.makedirs(dbg_dir, exist_ok=True)
+            dbg = outputs["debug"]
+            for i in range(dbg["projections"].shape[0]):
+                write_image(
+                    os.path.join(dbg_dir, f"crop_{rig.side_ids[i]}.png"),
+                    np.asarray(dbg["projections"][i]),
+                )
+            for key in (
+                "spherical_l", "spherical_r", "top_strip", "top_warped",
+                "bottom_strip", "bottom_warped",
+            ):
+                if key in dbg:
+                    arr = np.asarray(dbg[key])
+                    if arr.ndim == 4:  # (2, 4, H, W) per-eye layers
+                        for eye, name in enumerate(("left", "right")):
+                            write_image(
+                                os.path.join(dbg_dir, f"{key}_{name}.png"),
+                                arr[eye],
+                            )
+                    else:
+                        write_image(
+                            os.path.join(dbg_dir, f"{key}.png"), arr
+                        )
         eqr_path = os.path.join(output_dir, "eqr_frames", f"eqr_{frame_name}.png")
         write_image(eqr_path, np.asarray(outputs["equirect"]))
         if "cubemap" in outputs:
@@ -190,6 +216,7 @@ def main(argv=None):
     p.add_argument("--cubemap_format", default="video")
     p.add_argument("--save_state_dir", default=None)
     p.add_argument("--resume_state", default=None)
+    p.add_argument("--save_debug_images", action="store_true")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
     setup_logging(args.verbose)
@@ -223,6 +250,7 @@ def main(argv=None):
         pole_masks_dir=args.bottom_pole_masks_dir,
         save_state_dir=args.save_state_dir,
         resume_state=args.resume_state,
+        save_debug_images=args.save_debug_images,
     )
 
 

@@ -477,6 +477,7 @@ def render_frame(
     bottom_image=None,
     state: dict | None = None,
     use_temporal: bool = False,
+    save_debug: bool = False,
 ):
     """Render one stereo frame (renderStereoPanorama,
     TestRenderStereoPanorama.cpp:716-972).
@@ -492,12 +493,19 @@ def render_frame(
     cfg = ctx.config
     state = state or {}
     new_state: dict[str, Any] = {}
+    debug: dict[str, Any] = {}
 
     projections = _project_side_cameras(ctx, side_images)
     pano_l, pano_r, ring_state = _render_ring(
         ctx, projections, state, use_temporal
     )
     new_state.update(ring_state)
+    if save_debug:
+        # the reference's --save_debug_images projections/ + sphericalImg
+        # dumps (TestRenderStereoPanorama.cpp:177-185, :792-801)
+        debug["projections"] = projections
+        debug["spherical_l"] = pano_l
+        debug["spherical_r"] = pano_r
 
     pano_l = _pad_to_height(pano_l, cfg.eqr_height)
     pano_r = _pad_to_height(pano_r, cfg.eqr_height)
@@ -511,6 +519,9 @@ def render_frame(
             ctx, pano2, top_strip, "top", state, use_temporal
         )
         new_state.update(st)
+        if save_debug:
+            debug["top_strip"] = top_strip
+            debug["top_warped"] = warped
         pano2 = flatten_layers_deghost_prefer_base(pano2, warped)
 
     if cfg.enable_bottom:
@@ -527,6 +538,9 @@ def render_frame(
             ctx, flipped, bottom_strip, "bottom", state, use_temporal
         )
         new_state.update(st)
+        if save_debug:
+            debug["bottom_strip"] = bottom_strip
+            debug["bottom_warped"] = warped
         flipped = flatten_layers_deghost_prefer_base(flipped, warped)
         pano2 = jnp.flip(flipped, axis=(-2, -1))
 
@@ -558,6 +572,8 @@ def render_frame(
         )
 
     outputs["equirect"] = jnp.concatenate([rgb2[0], rgb2[1]], axis=-2)
+    if save_debug:
+        outputs["debug"] = debug
     return outputs, new_state
 
 

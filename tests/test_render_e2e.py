@@ -158,3 +158,15 @@ class TestFullSphereRender:
         # static scene + temporal prior: frame 2 must match frame 1 closely
         p = psnr(out1["equirect"], out2["equirect"])
         assert p > 35.0, f"temporal stability on static scene: {p:.1f} dB"
+
+
+class TestDebugOutputs:
+    def test_save_debug_returns_intermediates(self, rig, views, ring_render):
+        ctx, _, _ = ring_render
+        side_images = jnp.asarray(
+            np.stack([views[i] for i in [rig.ids.index(s) for s in rig.side_ids]])
+        )
+        outputs, _ = render_frame(ctx, side_images, save_debug=True)
+        dbg = outputs["debug"]
+        assert dbg["projections"].shape[0] == 14
+        assert dbg["spherical_l"].shape == dbg["spherical_r"].shape
