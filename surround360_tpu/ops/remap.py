@@ -113,7 +113,7 @@ def _remap_single(img, coords, interpolation, border):
 
 # Peak f32 elements allowed for one matmul-remap chunk's (C, Pc, H)
 # intermediate (per batch element handled by vmap on top).
-_REMAP_MATMUL_CHUNK_ELEMS = 12 * 1024 * 1024
+_REMAP_MATMUL_CHUNK_ELEMS = 48 * 1024 * 1024
 
 
 def _onehot_weights_1d(taps_weights, n, mode):
