@@ -21,7 +21,32 @@ import time
 import numpy as np
 
 
+def _install_watchdog(seconds: int):
+    """The axon TPU tunnel can wedge for ~15 min after a worker crash; a
+    hung bench must still emit its one JSON line for the driver."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "stereo equirect render fps (bench watchdog: "
+                    "TPU unavailable/wedged, no measurement)",
+                    "value": 0.0,
+                    "unit": "frames/sec",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main():
+    _install_watchdog(int(os.environ.get("S360_BENCH_TIMEOUT_S", "2700")))
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
