@@ -169,9 +169,9 @@ def _sample_nearest_extend(img, x, y):
     return _gather_hw(img, iy, ix)
 
 
-# Max elements of the intermediate (B, C, P, H) tensor for the matmul
-# sampler; above this the gather path is used. 192M bf16 ~ 384 MB.
-MATMUL_SAMPLER_MAX_ELEMS = 192 * 1024 * 1024
+# Target elements for one chunk's (B, C, Pc, H) stage-A intermediate in the
+# matmul sampler (chunked over output rows when a level exceeds it).
+MATMUL_SAMPLER_MAX_ELEMS = 96 * 1024 * 1024
 
 
 def _sample_bilinear_matmul(img, x, y):
@@ -179,13 +179,35 @@ def _sample_bilinear_matmul(img, x, y):
     gathers: out = OHy . (OHx . img) where OHx/OHy are per-pixel 2-hot
     interpolation matrices. XLA:TPU lowers arbitrary gathers to a ~80M
     elem/s scalar loop while the MXU runs these matmuls effectively for
-    free at pyramid-level sizes; the wasted work (stage A computes every
-    row's x-sample) is the price, so callers gate on
-    MATMUL_SAMPLER_MAX_ELEMS.
+    free at pyramid-level sizes. Output rows are chunked so the stage-A
+    intermediate stays within MATMUL_SAMPLER_MAX_ELEMS.
 
-    img (B, C, H, W); x, y (B, H, W) -> (B, C, H, W)."""
+    img (B, C, H, W); x, y (B, h_out, w_out) -> (B, C, h_out, w_out)."""
     B, C, H, W = img.shape
-    P = H * W
+    out_shape = x.shape[1:]
+    P = int(np.prod(out_shape))
+    max_p = max(1, MATMUL_SAMPLER_MAX_ELEMS // max(B * C * H, 1))
+    if P > max_p:
+        # chunk the flattened output so the (B, C, Pc, H) intermediate
+        # stays bounded
+        n_chunks = -(-P // max_p)
+        pc = -(-P // n_chunks)
+        pad = n_chunks * pc - P
+        xc = jnp.pad(x.reshape(B, P), [(0, 0), (0, pad)]).reshape(
+            B, n_chunks, pc
+        ).transpose(1, 0, 2)
+        yc = jnp.pad(y.reshape(B, P), [(0, 0), (0, pad)]).reshape(
+            B, n_chunks, pc
+        ).transpose(1, 0, 2)
+        out = jax.lax.map(
+            lambda co: _sample_bilinear_matmul(
+                img, co[0][:, :, None], co[1][:, :, None]
+            ),
+            jnp.stack([xc, yc], axis=1),
+        )  # (n_chunks, B, C, pc, 1)
+        out = out[..., 0].transpose(1, 2, 0, 3).reshape(B, C, n_chunks * pc)
+        return out[:, :, :P].reshape((B, C) + out_shape)
+
     xf = jnp.clip(x.reshape(B, P), 0.0, W - 2.0)
     yf = jnp.clip(y.reshape(B, P), 0.0, H - 2.0)
     x0 = jnp.floor(xf)
@@ -208,7 +230,7 @@ def _sample_bilinear_matmul(img, x, y):
         "bpw,bchw->bcph", ohx, img, precision="float32"
     )
     out = jnp.einsum("bph,bcph->bcp", ohy, tmp, precision="float32")
-    return out.reshape(B, C, H, W)
+    return out.reshape((B, C) + out_shape)
 
 
 def _sobel_k1(img, axis):
@@ -359,12 +381,11 @@ def _propagation_and_search(
     )
     gate = (alpha0 > UPDATE_ALPHA_THRESHOLD) & (alpha1 > UPDATE_ALPHA_THRESHOLD)
 
-    # pick the sampling backend for this level's static shape: MXU one-hot
-    # matmuls beat XLA's scalar-loop gathers by ~2 orders of magnitude but
-    # waste work proportional to H, so gate on the stage-A tensor size
-    use_matmul = (B * 2 * H * W * H) <= MATMUL_SAMPLER_MAX_ELEMS
-    eval_sampler = "matmul" if use_matmul else "bilinear"
-    rank_sampler = "matmul" if use_matmul else params.rank_sampler
+    # MXU one-hot matmul sampling beats XLA's scalar-loop gathers by ~2
+    # orders of magnitude; the sampler chunks itself to bound memory, so
+    # it is used unconditionally on every level
+    eval_sampler = "matmul"
+    rank_sampler = "matmul"
 
     def sweep(flow):
         blurred_flow = gaussian_blur(
