@@ -25,8 +25,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["remap", "remap_bilinear", "remap_bicubic"]
+__all__ = ["remap", "remap_bilinear", "remap_bicubic", "remap_static_banded"]
 
 
 def _gather2d(img, iy, ix, border):
@@ -177,6 +178,78 @@ def _remap_matmul_single(img, coords, interpolation, border):
 
 def _pairs(taps):
     return [(idx, jnp.broadcast_to(w, idx.shape)) for idx, w in taps]
+
+
+def remap_static_banded(
+    img,
+    coords_np: "np.ndarray",
+    interpolation: str = "bicubic",
+    border: str = "constant",
+    chunk_rows: int = 32,
+):
+    """Matmul remap for STATIC warps: the warp is known on host, so each
+    chunk of output rows only needs the band of source rows it actually
+    samples — stage A shrinks from (Pc x Hsrc) to (Pc x Hband), cutting
+    the dense one-hot matmul's wasted work by Hsrc/Hband (typically 4-8x
+    for smooth lens warps).
+
+    img: (C, H, W) or (B, C, H, W) sharing ONE warp; coords_np: host numpy
+    (2, Ho, Wo). Returns (..., C, Ho, Wo)."""
+    coords_np = np.asarray(coords_np)
+    _, Ho, Wo = coords_np.shape
+    H, W = img.shape[-2:]
+    n_chunks = -(-Ho // chunk_rows)
+
+    # host: per-chunk source-row bands (uniform height so chunks stack)
+    pad_taps = 3 if interpolation == "bicubic" else 1
+    y0s, y1s = [], []
+    for c in range(n_chunks):
+        ys = coords_np[1, c * chunk_rows : (c + 1) * chunk_rows]
+        # coords far outside the frame can't contribute taps (constant
+        # border zeroes them) — exclude them from the band bounds
+        valid = (
+            np.isfinite(ys)
+            & (ys > -(pad_taps + 1))
+            & (ys < H + pad_taps + 1)
+        )
+        ymin = float(ys[valid].min()) if valid.any() else 0.0
+        ymax = float(ys[valid].max()) if valid.any() else 0.0
+        y0s.append(int(np.clip(np.floor(ymin) - pad_taps, 0, max(H - 1, 0))))
+        y1s.append(int(np.clip(np.ceil(ymax) + pad_taps, 1, H)))
+    hb = max(1, max(y1 - y0 for y0, y1 in zip(y0s, y1s)))
+    hb = min(hb, H)
+    y0s = [min(y0, H - hb) for y0 in y0s]
+
+    def taps_1d(t, i0):
+        if interpolation == "bilinear":
+            return [(i0, 1.0 - t), (i0 + 1, t)]
+        w0, w1, w2, w3 = _cubic_weights(t)
+        return [(i0 - 1, w0), (i0, w1), (i0 + 1, w2), (i0 + 2, w3)]
+
+    x_mode = "wrap" if border == "wrap" else "constant"
+    y_mode = "clamp" if border == "wrap" else "constant"
+
+    outs = []
+    for c in range(n_chunks):
+        rows = slice(c * chunk_rows, min((c + 1) * chunk_rows, Ho))
+        co = jnp.asarray(coords_np[:, rows], jnp.float32)
+        x = co[0].reshape(-1)
+        y = co[1].reshape(-1) - y0s[c]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        ohx = _onehot_weights_1d(
+            _pairs(taps_1d(x - x0, x0.astype(jnp.int32))), W, x_mode
+        )
+        ohy = _onehot_weights_1d(
+            _pairs(taps_1d(y - y0, y0.astype(jnp.int32))), hb, y_mode
+        )
+        band = img[..., y0s[c] : y0s[c] + hb, :]
+        tmp = jnp.einsum("pw,...chw->...cph", ohx, band, precision="float32")
+        out = jnp.einsum("ph,...cph->...cp", ohy, tmp, precision="float32")
+        outs.append(
+            out.reshape(img.shape[:-2] + (rows.stop - rows.start, Wo))
+        )
+    return jnp.concatenate(outs, axis=-2)
 
 
 @partial(jax.jit, static_argnames=("interpolation", "border", "method"))

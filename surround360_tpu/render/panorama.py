@@ -257,6 +257,19 @@ def _project_side_cameras(ctx: RenderContext, side_images):
         ramp_full = jnp.minimum(ramp_top, ramp_top[::-1])[None, :, None]
         alpha = imgs[:, 3] * ramp_full
         imgs = jnp.concatenate([imgs[:, :3], alpha[:, None]], axis=1)
+    if jax.default_backend() != "cpu":
+        # static warps: banded matmul remap (source-row bands computed on
+        # host) avoids the dense one-hot matmul's full-height stage A
+        from ..ops.remap import remap_static_banded
+
+        return jnp.stack(
+            [
+                remap_static_banded(
+                    imgs[i], ctx.side_warps[i], "bicubic", "constant"
+                )
+                for i in range(imgs.shape[0])
+            ]
+        )
     coords = jnp.asarray(ctx.side_warps)
     return remap(imgs, coords, interpolation="bicubic", border="constant")
 
@@ -319,9 +332,15 @@ def _prepare_fisheye_strip(ctx, warp, strip_h, image, feather_size, alpha_min=Fa
     """Remap a fisheye camera into its spherical strip and feather the
     bottom rows (prepareTop/BottomImagesThread,
     TestRenderStereoPanorama.cpp:606-685)."""
-    spherical = remap(
-        image, jnp.asarray(warp), interpolation="bicubic", border="constant"
-    )
+    if jax.default_backend() != "cpu":
+        from ..ops.remap import remap_static_banded
+
+        spherical = remap_static_banded(image, warp, "bicubic", "constant")
+    else:
+        spherical = remap(
+            image, jnp.asarray(warp), interpolation="bicubic",
+            border="constant",
+        )
     y = jnp.arange(strip_h, dtype=jnp.float32)
     start = strip_h - 1 - feather_size
     fade = jnp.clip(1.0 - (y - start) / feather_size, 0.0, 1.0)[:, None]
