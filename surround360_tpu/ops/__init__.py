@@ -1,4 +1,9 @@
-from .remap import remap, remap_bilinear, remap_bicubic  # noqa: F401
+from .remap import (  # noqa: F401
+    remap,
+    remap_bilinear,
+    remap_bicubic,
+    remap_static_banded,
+)
 from .resize import resize_bilinear, resize_area, gaussian_blur, pyramid_down  # noqa: F401
 from .filters import iir_lowpass_2d, sharpen_iir, median_filter  # noqa: F401
 from .compositing import (  # noqa: F401

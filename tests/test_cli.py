@@ -144,3 +144,34 @@ class TestUnpack:
         assert os.path.exists(
             str(capture_tree["root"] / "state" / "state_000001.pkl")
         )
+
+
+class TestCompareTool:
+    def test_compare_dirs(self, tmp_path):
+        from surround360_tpu.cli.compare import compare_dirs
+
+        rng = np.random.default_rng(9)
+        a_dir = tmp_path / "a"
+        b_dir = tmp_path / "b"
+        a_dir.mkdir()
+        b_dir.mkdir()
+        for i in range(2):
+            img = rng.random((3, 16, 24)).astype(np.float32)
+            write_image(str(a_dir / f"{i:06d}.png"), img)
+            noisy = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1).astype(
+                np.float32
+            )
+            write_image(str(b_dir / f"{i:06d}.png"), noisy)
+        rep = compare_dirs(str(a_dir), str(b_dir))
+        assert rep["frames"] == 2
+        assert 30.0 < rep["psnr_mean_db"] < 50.0
+
+    def test_identical_dirs_high_psnr(self, tmp_path):
+        from surround360_tpu.cli.compare import compare_dirs
+
+        d = tmp_path / "same"
+        d.mkdir()
+        img = np.random.default_rng(10).random((3, 8, 8)).astype(np.float32)
+        write_image(str(d / "x.png"), img)
+        rep = compare_dirs(str(d), str(d))
+        assert rep["psnr_min_db"] > 100.0
