@@ -273,6 +273,49 @@ def _box5(img):
 # ---------------------------------------------------------------------------
 
 
+_BANDED_MIN_H = 96  # use runtime y-banding when the source is taller
+_BAND_ROWS = 16  # output rows per band chunk
+_BAND_H = 96  # static band height (chunk span + flow-variation headroom)
+
+
+def _sample_bilinear_matmul_banded(img, x, y):
+    """Banded variant for tall levels: each chunk of output rows samples a
+    runtime-positioned band of _BAND_H source rows (flow fields are
+    median/blur-smoothed, so their variation within a few rows is far
+    below the headroom; samples beyond the band clamp to its edge).
+    Cuts the dense stage-A work by Hsrc/_BAND_H."""
+    B, C, H, W = img.shape
+    out_shape = x.shape[1:]
+    ho, wo = out_shape
+    n_chunks = -(-ho // _BAND_ROWS)
+    pad = n_chunks * _BAND_ROWS - ho
+    # edge-pad: zero padding would drag the last chunk's band min to 0
+    xc = jnp.pad(x, [(0, 0), (0, pad), (0, 0)], mode="edge").reshape(
+        B, n_chunks, _BAND_ROWS, wo
+    ).transpose(1, 0, 2, 3)
+    yc = jnp.pad(y, [(0, 0), (0, pad), (0, 0)], mode="edge").reshape(
+        B, n_chunks, _BAND_ROWS, wo
+    ).transpose(1, 0, 2, 3)
+
+    def chunk_fn(co):
+        cx, cy = co[0], co[1]  # (B, R, wo)
+        cy_cl = jnp.clip(cy, 0.0, H - 2.0)
+        y_lo = jnp.clip(
+            jnp.floor(jnp.min(cy_cl)).astype(jnp.int32) - 1, 0, H - _BAND_H
+        )
+        band = jax.lax.dynamic_slice(
+            img, (0, 0, y_lo, 0), (B, C, _BAND_H, W)
+        )
+        cy_local = jnp.clip(cy_cl - y_lo.astype(jnp.float32), 0.0, _BAND_H - 2.0)
+        return _sample_bilinear_matmul(band, cx, cy_local)
+
+    out = jax.lax.map(chunk_fn, jnp.stack([xc, yc], axis=1))
+    out = out.transpose(1, 2, 0, 3, 4).reshape(
+        B, C, n_chunks * _BAND_ROWS, wo
+    )
+    return out[:, :, :ho]
+
+
 def _error_field(flow, ctx, params: FlowParams, sampler: str = "bilinear"):
     """Energy at every pixel for candidate ``flow`` (..., 2, H, W).
     ``ctx`` holds I0x, I0y, I1g (stacked I1x/I1y), blurred_flow, gx, gy.
@@ -282,9 +325,12 @@ def _error_field(flow, ctx, params: FlowParams, sampler: str = "bilinear"):
     H, W = I0x.shape[-2:]
     if sampler == "matmul":
         # exact bilinear via MXU matmuls; flow must be unbatched (B,2,H,W)
-        g = _sample_bilinear_matmul(
-            I1g, gx + flow[..., 0, :, :], gy + flow[..., 1, :, :]
-        )
+        mmx = gx + flow[..., 0, :, :]
+        mmy = gy + flow[..., 1, :, :]
+        if I1g.shape[-2] > _BANDED_MIN_H:
+            g = _sample_bilinear_matmul_banded(I1g, mmx, mmy)
+        else:
+            g = _sample_bilinear_matmul(I1g, mmx, mmy)
     else:
         mx = (gx + flow[..., 0, :, :])[..., None, :, :]
         my = (gy + flow[..., 1, :, :])[..., None, :, :]
