@@ -273,7 +273,11 @@ def _box5(img):
 # ---------------------------------------------------------------------------
 
 
-_BANDED_MIN_H = 96  # use runtime y-banding when the source is taller
+# Runtime y-banding only pays off once the dense stage-A tmp is large:
+# measured at 2016-wide (H=217) the per-chunk dynamic_slice + small-matmul
+# overhead LOST to the unbanded path (0.21 -> 0.16 fps), so it activates
+# only for 8K-scale levels.
+_BANDED_MIN_H = 384
 _BAND_ROWS = 16  # output rows per band chunk
 _BAND_H = 96  # static band height (chunk span + flow-variation headroom)
 
