@@ -267,6 +267,19 @@ def _per_site_value(vals3, red_mask, green_mask):
     return jnp.where(red_mask, r, jnp.where(green_mask, g, b))
 
 
+def apply_companding(raw, cfg: IspConfig):
+    """Linearize a companded sensor response with the piecewise-linear
+    compandingLut (linearize(), CameraIsp.h:991-1002 via the Linear
+    MonotonicTable). The reference's executePipeline does not invoke it
+    (and its loop only touches red sites — an apparent bug we do not
+    replicate); exposed for sensors that need it. Applies the first
+    (x, y) channel of each control point to all sites."""
+    pts = np.asarray(cfg.companding_lut, dtype=np.float64)
+    xs = jnp.asarray(pts[:, 0], jnp.float32)
+    ys = jnp.asarray(pts[:, 1], jnp.float32)
+    return jnp.interp(jnp.asarray(raw, jnp.float32), xs, ys)
+
+
 def _stuck_pixel_removal(raw, cfg: IspConfig, red_mask, green_mask):
     """Dense reformulation of removeStuckPixels (CameraIsp.h:1024-1103):
     within the same-color lattice neighborhood (radius in raw pixels, color
