@@ -84,9 +84,10 @@ class FlowParams(NamedTuple):
     # tuple = use prop_offsets everywhere
     fine_prop_offsets: tuple = ()
     use_probe_candidates: bool = False
-    # candidate-ranking sampler: "bilinear" (reference-faithful) or
-    # "nearest" (4x fewer gathers; needs integer probe candidates to keep
-    # sub-pixel proposals distinguishable)
+    # candidate-ranking sampler for the legacy gather backend ("bilinear"
+    # or "nearest"); the production path ranks with the exact one-hot
+    # matmul sampler on every level, so this only matters if the gather
+    # backend is re-enabled
     rank_sampler: str = "bilinear"
     min_image_size: int = PYR_MIN_IMAGE_SIZE
 
