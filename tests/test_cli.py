@@ -175,3 +175,47 @@ class TestCompareTool:
         write_image(str(d / "x.png"), img)
         rep = compare_dirs(str(d), str(d))
         assert rep["psnr_min_db"] > 100.0
+
+
+class TestRunAll:
+    def test_unpack_then_render_via_run_all(self, capture_tree, tmp_path):
+        """Drive the top-level run_all pipeline (unpack -> render) on the
+        synthesized capture, checking runtimes.txt and outputs."""
+        import argparse
+
+        from surround360_tpu.cli.run_all import run_all
+
+        dest = str(tmp_path / "dest")
+        os.makedirs(dest, exist_ok=True)
+        # preview preset is too big for the 64px test rig; monkeypatch in a
+        # tiny preset through the QUALITY_PRESETS table
+        from surround360_tpu.cli import render_video as rv
+
+        rv.QUALITY_PRESETS["tiny"] = (140, 70, 0, 0)
+        args = argparse.Namespace(
+            steps="unpack,render,ffmpeg",
+            binary_prefix=os.path.dirname(capture_tree["bin"]),
+            file_count=1,
+            dest_dir=dest,
+            isp_dir=capture_tree["isp_dir"],
+            rig_json_file=capture_tree["rig_path"],
+            quality="tiny",
+            start_frame=0,
+            frame_count=2,
+            sharpening=0.0,
+            enable_top=False,
+            enable_bottom=False,
+            enable_pole_removal=False,
+            pole_masks_dir=None,
+            flow_alg="pixflow_tpu",
+        )
+        run_all(args)
+        assert os.path.exists(os.path.join(dest, "runtimes.txt"))
+        assert os.path.exists(
+            os.path.join(dest, "eqr_frames", "eqr_000000.png")
+        )
+        assert os.path.exists(
+            os.path.join(dest, "eqr_frames", "eqr_000001.png")
+        )
+        runtimes = open(os.path.join(dest, "runtimes.txt")).read()
+        assert "unpack:" in runtimes and "render:" in runtimes
