@@ -54,21 +54,42 @@ def offset_horizontal_wrap(image, offset):
     return rolled * (1.0 - frac) + jnp.roll(image, i + 1, axis=-1) * frac
 
 
+def _min_filter_1d(x, radius: int, axis: int):
+    """Running-min over a (2*radius+1) window via log-doubling: a width-w
+    min composes from O(log w) shifted mins instead of w stacked slices
+    (the 31-px feather would otherwise stack 63 slices per axis)."""
+    # build a min over [0, radius] going forward, then backward, compose
+    def directional(x, r, sign):
+        out = x
+        covered = 1
+        while covered <= r:
+            step = min(covered, r - covered + 1)
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (step, 0) if sign > 0 else (0, step)
+            shifted = jnp.pad(out, pad, mode="edge")
+            if sign > 0:
+                shifted = jax.lax.slice_in_dim(
+                    shifted, 0, x.shape[axis], axis=axis
+                )
+            else:
+                shifted = jax.lax.slice_in_dim(
+                    shifted, step, step + x.shape[axis], axis=axis
+                )
+            out = jnp.minimum(out, shifted)
+            covered += step
+        return out
+
+    return jnp.minimum(directional(x, radius, 1), directional(x, radius, -1))
+
+
 def _erode_cross(alpha, radius: int):
     """Morphological erosion by a cross structuring element of given radius
-    (MORPH_CROSS in featherAlphaChannel, CvUtil.cpp:140-157): min over the
-    horizontal and vertical 1-D windows."""
-    out = alpha
-    for axis, r in ((-1, radius), (-2, radius)):
-        pad = [(0, 0)] * alpha.ndim
-        pad[axis] = (r, r)
-        p = jnp.pad(out, pad, mode="edge")
-        windows = [
-            jax.lax.slice_in_dim(p, k, k + alpha.shape[axis], axis=axis)
-            for k in range(2 * r + 1)
-        ]
-        out = jnp.min(jnp.stack(windows), axis=0)
-    return out
+    (MORPH_CROSS in featherAlphaChannel, CvUtil.cpp:140-157): the min over
+    the union of the horizontal and vertical 1-D windows (NOT their
+    composition, which would be a square)."""
+    return jnp.minimum(
+        _min_filter_1d(alpha, radius, -1), _min_filter_1d(alpha, radius, -2)
+    )
 
 
 @partial(jax.jit, static_argnames=("erode_size",))
