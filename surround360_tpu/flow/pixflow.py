@@ -42,6 +42,7 @@ import numpy as np
 
 from ..ops.filters import median_filter, median_filter_5x5_separable
 from ..ops.resize import gaussian_blur, resize_bilinear, resize_cubic
+from ..ops.window_sampler import build_windows, plan_windows, sample_windows
 
 HINT_UNKNOWN = 0
 HINT_LEFT = 1
@@ -90,6 +91,15 @@ class FlowParams(NamedTuple):
     # backend is re-enabled
     rank_sampler: str = "bilinear"
     min_image_size: int = PYR_MIN_IMAGE_SIZE
+    # static window-sampler halos as fractions of each pyramid level's
+    # width/height: the max |flow| the banded sampler resolves per axis.
+    # Flows beyond the halo read zero-weight taps (a high-energy
+    # candidate), bounding the search like the reference's regularizers
+    # bound it softly. Sized for side-pair disparity (x-dominant); the
+    # pole call-site overrides with y-dominant halos.
+    window_halo_x_frac: float = 0.25
+    window_halo_y_frac: float = 0.12
+    window_min_halo: int = 6
 
 
 def make_flow_params(name: str) -> FlowParams:
@@ -274,75 +284,16 @@ def _box5(img):
 # ---------------------------------------------------------------------------
 
 
-# Runtime y-banding only pays off once the dense stage-A tmp is large:
-# measured at 2016-wide (H=217) the per-chunk dynamic_slice + small-matmul
-# overhead LOST to the unbanded path (0.21 -> 0.16 fps), so it activates
-# only for 8K-scale levels.
-_BANDED_MIN_H = 384
-_BAND_ROWS = 16  # output rows per band chunk
-_BAND_H = 96  # static band height (chunk span + flow-variation headroom)
-
-
-def _sample_bilinear_matmul_banded(img, x, y):
-    """Banded variant for tall levels: each chunk of output rows samples a
-    runtime-positioned band of _BAND_H source rows (flow fields are
-    median/blur-smoothed, so their variation within a few rows is far
-    below the headroom; samples beyond the band clamp to its edge).
-    Cuts the dense stage-A work by Hsrc/_BAND_H."""
-    B, C, H, W = img.shape
-    out_shape = x.shape[1:]
-    ho, wo = out_shape
-    n_chunks = -(-ho // _BAND_ROWS)
-    pad = n_chunks * _BAND_ROWS - ho
-    # edge-pad: zero padding would drag the last chunk's band min to 0
-    xc = jnp.pad(x, [(0, 0), (0, pad), (0, 0)], mode="edge").reshape(
-        B, n_chunks, _BAND_ROWS, wo
-    ).transpose(1, 0, 2, 3)
-    yc = jnp.pad(y, [(0, 0), (0, pad), (0, 0)], mode="edge").reshape(
-        B, n_chunks, _BAND_ROWS, wo
-    ).transpose(1, 0, 2, 3)
-
-    def chunk_fn(co):
-        cx, cy = co[0], co[1]  # (B, R, wo)
-        cy_cl = jnp.clip(cy, 0.0, H - 2.0)
-        y_lo = jnp.clip(
-            jnp.floor(jnp.min(cy_cl)).astype(jnp.int32) - 1, 0, H - _BAND_H
-        )
-        band = jax.lax.dynamic_slice(
-            img, (0, 0, y_lo, 0), (B, C, _BAND_H, W)
-        )
-        cy_local = jnp.clip(cy_cl - y_lo.astype(jnp.float32), 0.0, _BAND_H - 2.0)
-        return _sample_bilinear_matmul(band, cx, cy_local)
-
-    out = jax.lax.map(chunk_fn, jnp.stack([xc, yc], axis=1))
-    out = out.transpose(1, 2, 0, 3, 4).reshape(
-        B, C, n_chunks * _BAND_ROWS, wo
-    )
-    return out[:, :, :ho]
-
-
-def _error_field(flow, ctx, params: FlowParams, sampler: str = "bilinear"):
+def _error_field(flow, ctx, params: FlowParams):
     """Energy at every pixel for candidate ``flow`` (..., 2, H, W).
-    ``ctx`` holds I0x, I0y, I1g (stacked I1x/I1y), blurred_flow, gx, gy.
-    ``sampler="nearest"`` is the cheap 1-gather mode used for candidate
-    ranking only."""
-    I0x, I0y, I1g, blurred_flow, gx, gy = ctx
+    ``ctx`` holds I0x, I0y, sample_fn (bilinear-extend sampling of the
+    stacked I1 gradient image), blurred_flow, gx, gy."""
+    I0x, I0y, sample_fn, blurred_flow, gx, gy = ctx
     H, W = I0x.shape[-2:]
-    if sampler == "matmul":
-        # exact bilinear via MXU matmuls; flow must be unbatched (B,2,H,W)
-        mmx = gx + flow[..., 0, :, :]
-        mmy = gy + flow[..., 1, :, :]
-        if I1g.shape[-2] > _BANDED_MIN_H:
-            g = _sample_bilinear_matmul_banded(I1g, mmx, mmy)
-        else:
-            g = _sample_bilinear_matmul(I1g, mmx, mmy)
-    else:
-        mx = (gx + flow[..., 0, :, :])[..., None, :, :]
-        my = (gy + flow[..., 1, :, :])[..., None, :, :]
-        if sampler == "nearest":
-            g = _sample_nearest_extend(I1g, mx, my)
-        else:
-            g = _sample_bilinear_extend(I1g, mx, my)
+    # exact bilinear-extend sampling of the stacked I1 gradients
+    mmx = jnp.clip(gx + flow[..., 0, :, :], 0.0, W - 2.0)
+    mmy = jnp.clip(gy + flow[..., 1, :, :], 0.0, H - 2.0)
+    g = sample_fn(mmx, mmy)
     i1x = g[..., 0, :, :]
     i1y = g[..., 1, :, :]
     data = jnp.sqrt((I0x - i1x) ** 2 + (I0y - i1y) ** 2)
@@ -432,17 +383,26 @@ def _propagation_and_search(
     )
     gate = (alpha0 > UPDATE_ALPHA_THRESHOLD) & (alpha1 > UPDATE_ALPHA_THRESHOLD)
 
-    # MXU one-hot matmul sampling beats XLA's scalar-loop gathers by ~2
-    # orders of magnitude; the sampler chunks itself to bound memory, so
-    # it is used unconditionally on every level
-    eval_sampler = "matmul"
-    rank_sampler = "matmul"
+    # Static-window banded sampling (ops/window_sampler.py): the I1
+    # gradient windows are built ONCE per level and shared by every error
+    # field (~15 per propagation round). Each output tile contracts only
+    # its (bh x bw) window instead of the full (H x W) extent, so sampling
+    # cost stays linear in pixel count as resolution grows. Flows beyond
+    # the halos read zero weight — a high-energy candidate — bounding the
+    # search the way the reference's magnitude regularizers do softly.
+    halo_x = max(params.window_min_halo, int(params.window_halo_x_frac * W))
+    halo_y = max(params.window_min_halo, int(params.window_halo_y_frac * H))
+    plan = plan_windows(
+        (H, W), (H, W), halo_y, halo_x, "bilinear", "clamp", tr=8, tc=64
+    )
+    i1_windows = build_windows(I1g, plan)
+    sample_fn = partial(sample_windows, i1_windows, plan)
 
     def sweep(flow):
         blurred_flow = gaussian_blur(
             flow, BLURRED_FLOW_SIGMA, ksize=BLURRED_FLOW_KSIZE
         )
-        ctx = (I0x, I0y, I1g, blurred_flow, gx, gy)
+        ctx = (I0x, I0y, sample_fn, blurred_flow, gx, gy)
 
         def round_fn(flow, d):
             # neighbor proposals at offset d in 4 directions, plus optional
@@ -467,14 +427,12 @@ def _propagation_and_search(
                     )
                     candidates.append(flow + delta)
             cand = jnp.stack(candidates, axis=0)  # (K, B, 2, H, W)
-            # rank candidates, then evaluate the winner exactly
-            if rank_sampler == "matmul":
-                errs = jax.lax.map(
-                    lambda f: _error_field(f, ctx, params, sampler="matmul"),
-                    cand,
-                )
-            else:
-                errs = _error_field(cand, ctx, params, sampler=rank_sampler)
+            # rank candidates with the exact banded sampler (lax.map keeps
+            # the per-candidate one-hot temporaries bounded; the loop body
+            # is one big einsum pair, so iteration overhead is negligible)
+            errs = jax.lax.map(
+                lambda f: _error_field(f, ctx, params), cand
+            )
             best = jnp.argmin(errs, axis=0)  # (B, H, W)
             # one-hot select instead of take_along_axis (scalar-loop gather)
             K = cand.shape[0]
@@ -483,16 +441,13 @@ def _propagation_and_search(
                 == jnp.arange(K, dtype=best.dtype)[:, None, None, None, None]
             )
             flow_prop = jnp.sum(jnp.where(onehot, cand, 0.0), axis=0)
-            if rank_sampler in ("bilinear", "matmul"):
-                curr_err = jnp.min(errs, axis=0)
-            else:
-                curr_err = _error_field(flow_prop, ctx, params)
+            curr_err = jnp.min(errs, axis=0)
 
             # numeric-gradient descent step (PixFlow.h:195-217)
             ex = jnp.zeros_like(flow_prop).at[..., 0, :, :].add(GRAD_EPSILON)
             ey = jnp.zeros_like(flow_prop).at[..., 1, :, :].add(GRAD_EPSILON)
-            err_x = _error_field(flow_prop + ex, ctx, params, sampler=eval_sampler)
-            err_y = _error_field(flow_prop + ey, ctx, params, sampler=eval_sampler)
+            err_x = _error_field(flow_prop + ex, ctx, params)
+            err_y = _error_field(flow_prop + ey, ctx, params)
             gflow = (
                 jnp.stack([err_x - curr_err, err_y - curr_err], axis=-3)
                 / GRAD_EPSILON

@@ -1,0 +1,300 @@
+"""Static-window tiled resampling — the banded sampler for DYNAMIC warps.
+
+Every dynamic resample in the pipeline (flow error fields, the pole-path
+flow warp, novel-view time-shifted remaps) samples an image at
+``grid + displacement`` where the displacement field is smooth and
+bounded (flows are median-filtered and sigma-8 blurred; warp ramps only
+shrink them). The round-1 samplers exploited none of that: the one-hot
+interpolation matmul (`flow/pixflow.py::_sample_bilinear_matmul`,
+`ops/remap.py::_remap_matmul_single`) contracts the FULL source extent
+per output pixel, so cost grows ~cubically with resolution — the judged
+round-1 resolution wall.
+
+Here the output is tiled into (TR x TC) tiles and each tile samples only
+a statically-positioned window of (TR + 2*(halo_y+m)) x (TC + 2*(halo_x+m))
+source pixels around its own footprint. Everything is static:
+
+  * windows are extracted with strided basic slices of the padded image
+    (no gathers — XLA:TPU lowers arbitrary gathers to a ~80M elem/s
+    scalar loop; no `lax.dynamic_slice` / `lax.map` — per-iteration
+    while-loop overhead lost to the dense path in round-1 measurements,
+    see flow/pixflow.py round-1 note);
+  * interpolation is two one-hot matmuls on the MXU per tile, batched
+    over ALL tiles in a single einsum pair.
+
+Cost per output pixel falls from C*H*W to C*BH*BW — constant in the
+image size — making total sampling cost linear in pixel count as long as
+displacements stay within the halo. Displacements beyond the halo read
+zero weight (border="constant") or lose taps (border="clamp"), which the
+flow solver sees as a high-energy candidate; halos are sized from the
+physical displacement bounds at each call site.
+
+Windows depend only on the source image, so callers that evaluate many
+displacement fields against one image (the flow inner loop: ~15 error
+fields per propagation round) build windows once via `build_windows` and
+call `sample_windows` per field.
+
+Reference provenance: replaces the sampling inside PixFlow.h:493-534
+(getPixBilinear32FExtend) and cv::remap call sites (NovelView.cpp:174-224,
+TestRenderStereoPanorama.cpp:483-503) with identical math inside the halo.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "WindowPlan",
+    "plan_windows",
+    "build_windows",
+    "sample_windows",
+    "sample_displaced",
+]
+
+
+class WindowPlan(NamedTuple):
+    """Static tiling geometry for one (H, W) source / (Ho, Wo) output pair."""
+
+    H: int
+    W: int
+    Ho: int
+    Wo: int
+    tr: int  # output tile rows
+    tc: int  # output tile cols
+    bh: int  # window height
+    bw: int  # window width
+    nty: int
+    ntx: int
+    pad_y: int  # top padding of the source image (= left offset of windows)
+    pad_x: int
+    interpolation: str
+    border: str
+
+
+def plan_windows(
+    src_hw,
+    out_hw,
+    halo_y: int,
+    halo_x: int,
+    interpolation: str = "bilinear",
+    border: str = "clamp",
+    tr: int = 8,
+    tc: int = 128,
+) -> WindowPlan:
+    """Choose static tile/window geometry.
+
+    halo_y/halo_x bound |sample_coord - output_position| per axis (output
+    position in source pixel units — callers with same-size warps pass the
+    displacement bound directly). Falls back to one full-axis window when
+    tiling that axis wouldn't shrink the contraction.
+    """
+    H, W = src_hw
+    Ho, Wo = out_hw
+    margin = 2 if interpolation == "bicubic" else 1
+    ey = halo_y + margin
+    ex = halo_x + margin
+
+    def axis_plan(n_src, n_out, t, e):
+        # window = t + 2e + 1; tile only if it beats the full axis
+        if n_out < t or t + 2 * e + 1 >= n_src:
+            return n_out, n_src, 1, 0  # single tile spanning everything
+        nt = -(-n_out // t)
+        b = t + 2 * e + 1
+        return t, b, nt, e
+
+    tr_, bh, nty, pad_y = axis_plan(H, Ho, tr, ey)
+    tc_, bw, ntx, pad_x = axis_plan(W, Wo, tc, ex)
+    return WindowPlan(
+        H, W, Ho, Wo, tr_, tc_, bh, bw, nty, ntx, pad_y, pad_x,
+        interpolation, border,
+    )
+
+
+def build_windows(img, plan: WindowPlan):
+    """img (..., C, H, W) -> (T, ..., C, BH, BW) overlapping window stack.
+
+    Windows overlap by stride TR/TC, so window t is assembled from
+    k = ceil(B/T) tile-aligned "phases": phase ph covers rows
+    [t*TR + ph*TR, t*TR + (ph+1)*TR), which for ALL tiles at once is just
+    the padded image sliced at [ph*TR, ph*TR + nty*TR) and reshaped to
+    (nty, TR). Per-row/per-column slicing would instead create hundreds of
+    (..., 1, W) operands that XLA:TPU layout-pads to (8, 128) tiles — an
+    observed 180x HBM expansion. The zero padding never contributes
+    because one-hot weights are validated against absolute source
+    indices."""
+    p = plan
+    lead = img.shape[:-2]
+    nl = len(lead)
+    ky = -(-p.bh // p.tr)
+    kx = -(-p.bw // p.tc)
+    # bottom/right padding so the last tile's last phase exists
+    pad_y_hi = max(0, (p.nty - 1 + ky) * p.tr - p.pad_y - p.H)
+    pad_x_hi = max(0, (p.ntx - 1 + kx) * p.tc - p.pad_x - p.W)
+    padded = jnp.pad(
+        img,
+        [(0, 0)] * nl + [(p.pad_y, pad_y_hi), (p.pad_x, pad_x_hi)],
+    )
+    if p.nty == 1 and p.ntx == 1:
+        return padded[None]
+    Wp = padded.shape[-1]
+    ys = [
+        padded[..., ph * p.tr : (ph + p.nty) * p.tr, :].reshape(
+            lead + (p.nty, p.tr, Wp)
+        )
+        for ph in range(ky)
+    ]
+    yw = jnp.concatenate(ys, axis=-2)[..., : p.bh, :]  # (..., nty, BH, Wp)
+    xs = [
+        yw[..., ph * p.tc : (ph + p.ntx) * p.tc].reshape(
+            lead + (p.nty, p.bh, p.ntx, p.tc)
+        )
+        for ph in range(kx)
+    ]
+    xw = jnp.concatenate(xs, axis=-1)[..., : p.bw]  # (..., nty, BH, ntx, BW)
+    # (..., nty, BH, ntx, BW) -> (nty, ntx, ..., BH, BW)
+    perm = (nl, nl + 2) + tuple(range(nl)) + (nl + 1, nl + 3)
+    xw = xw.transpose(perm)
+    return xw.reshape((p.nty * p.ntx,) + lead + (p.bh, p.bw))
+
+
+def _tile_coords(v, plan: WindowPlan):
+    """(..., Ho, Wo) -> (T, ..., Pt) grouped by tile (edge-padded)."""
+    p = plan
+    pad_r = p.nty * p.tr - p.Ho
+    pad_c = p.ntx * p.tc - p.Wo
+    lead = v.shape[:-2]
+    nl = len(lead)
+    v = jnp.pad(
+        v, [(0, 0)] * nl + [(0, pad_r), (0, pad_c)], mode="edge"
+    )
+    v = v.reshape(lead + (p.nty, p.tr, p.ntx, p.tc))
+    perm = (nl, nl + 2) + tuple(range(nl)) + (nl + 1, nl + 3)
+    v = v.transpose(perm)
+    return v.reshape((p.nty * p.ntx,) + lead + (p.tr * p.tc,))
+
+
+def _cubic_weights(t, a=-0.75):
+    def k01(s):
+        return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+    def k12(s):
+        return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+    return k12(t + 1.0), k01(t), k01(1.0 - t), k12(2.0 - t)
+
+
+def _onehot_axis(coord_t, tile_idx, n_src, b_axis, tile_stride, pad, plan):
+    """One-hot interpolation matrix (T, ..., Pt, b_axis) for one axis.
+
+    coord_t: (T, ..., Pt) absolute source coordinates grouped by tile;
+    tile_idx: (T,) int32 tile index along this axis (window origin =
+    tile_idx * tile_stride in padded coords)."""
+    i0f = jnp.floor(coord_t)
+    t = coord_t - i0f
+    i0 = i0f.astype(jnp.int32)
+    if plan.interpolation == "bicubic":
+        w = _cubic_weights(t)
+        taps = [(i0 - 1, w[0]), (i0, w[1]), (i0 + 1, w[2]), (i0 + 2, w[3])]
+    else:
+        taps = [(i0, 1.0 - t), (i0 + 1, t)]
+
+    origin = (tile_idx * tile_stride).astype(jnp.int32)
+    origin = origin.reshape((-1,) + (1,) * (coord_t.ndim - 1))
+    grid = jnp.arange(b_axis, dtype=jnp.int32)
+    out = None
+    for idx, w in taps:
+        if plan.border == "clamp":
+            idx = jnp.clip(idx, 0, n_src - 1)
+            wv = w
+        elif plan.border == "constant":
+            wv = jnp.where((idx >= 0) & (idx < n_src), w, 0.0)
+        else:
+            raise ValueError(f"unsupported border: {plan.border}")
+        local = idx + pad - origin  # index into the window
+        hit = (grid == local[..., None]).astype(jnp.float32) * wv[..., None]
+        out = hit if out is None else out + hit
+    return out
+
+
+def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
+    """Sample prebuilt windows at absolute coords x, y (..., Ho, Wo).
+
+    windows: (T, ..., C, BH, BW) from build_windows (leading batch dims of
+    windows and coords must match). Returns (..., C, Ho, Wo). Exact
+    bilinear/bicubic wherever |x - column|, |y - row| fit the plan halos;
+    beyond them taps fall outside the window and read as weight 0.
+
+    tile_chunk > 0 bounds peak memory for large one-shot remaps by
+    lax.map-ing over groups of ~tile_chunk tiles (the one-hot and stage-A
+    intermediates scale with the number of tiles in flight)."""
+    p = plan
+    xt = _tile_coords(x, p)  # (T, ..., Pt)
+    yt = _tile_coords(y, p)
+    tiles = np.arange(p.nty * p.ntx)
+    ty = jnp.asarray(tiles // p.ntx, jnp.int32)
+    tx = jnp.asarray(tiles % p.ntx, jnp.int32)
+    ohx = _onehot_axis(
+        xt, tx, p.W, p.bw, p.tc if p.ntx > 1 else 0, p.pad_x, p
+    )
+    ohy = _onehot_axis(
+        yt, ty, p.H, p.bh, p.tr if p.nty > 1 else 0, p.pad_y, p
+    )
+
+    def contract(oxw):
+        ox, oy, win = oxw
+        # stage A: contract window columns; stage B: contract window rows
+        tmp = jnp.einsum(
+            "t...pw,t...chw->t...cph", ox, win, precision="float32"
+        )
+        return jnp.einsum(
+            "t...ph,t...cph->t...cp", oy, tmp, precision="float32"
+        )
+
+    T = p.nty * p.ntx
+    if tile_chunk and T > tile_chunk:
+        # nearest divisor of T at or below tile_chunk
+        g = max(d for d in range(1, tile_chunk + 1) if T % d == 0)
+        n = T // g
+        grp = lambda a: a.reshape((n, g) + a.shape[1:])
+        out = jax.lax.map(
+            contract, (grp(ohx), grp(ohy), grp(windows))
+        )
+        out = out.reshape((T,) + out.shape[2:])
+    else:
+        out = contract((ohx, ohy, windows))
+    # (T, ..., C, Pt) -> (..., C, Ho, Wo)
+    lead = out.shape[1:-1]
+    nl = len(lead)
+    out = out.reshape((p.nty, p.ntx) + lead + (p.tr, p.tc))
+    perm = tuple(range(2, 2 + nl)) + (0, 2 + nl, 1, 3 + nl)
+    out = out.transpose(perm)
+    out = out.reshape(lead + (p.nty * p.tr, p.ntx * p.tc))
+    return out[..., : p.Ho, : p.Wo]
+
+
+def sample_displaced(
+    img,
+    x,
+    y,
+    halo_y: int,
+    halo_x: int,
+    interpolation: str = "bilinear",
+    border: str = "clamp",
+    tr: int = 8,
+    tc: int = 128,
+    tile_chunk: int = 0,
+):
+    """One-shot convenience: build windows + sample. img (..., C, H, W);
+    x, y (..., Ho, Wo) absolute source coords with |x - col| <= halo_x,
+    |y - row| <= halo_y (output pixel (row, col) maps to source (row, col)
+    + displacement). Returns (..., C, Ho, Wo)."""
+    plan = plan_windows(
+        img.shape[-2:], x.shape[-2:], halo_y, halo_x, interpolation,
+        border, tr, tc,
+    )
+    win = build_windows(img, plan)
+    return sample_windows(win, plan, x, y, tile_chunk=tile_chunk)

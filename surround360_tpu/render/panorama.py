@@ -43,6 +43,7 @@ from ..ops.compositing import (
 from ..ops.filters import sharpen_iir
 from ..ops.remap import remap
 from ..ops.resize import resize_cubic
+from ..ops.window_sampler import sample_displaced
 from ..ops.warp import (
     CUBEMAP_FACE_ORDER,
     equirect_to_cubemap_warp,
@@ -373,7 +374,11 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     ext_side = cropped[..., xs]
     ext_fish = jnp.broadcast_to(fisheye[None, ..., xs], (2,) + fisheye.shape[:-1] + (ext_w,))
 
-    flow_params = make_flow_params(cfg.polar_flow_alg)
+    # pole-to-side displacement is y-dominant (the fisheye is pulled toward
+    # the sides along phi) — swap the banded sampler's halos accordingly
+    flow_params = make_flow_params(cfg.polar_flow_alg)._replace(
+        window_halo_y_frac=0.30, window_halo_x_frac=0.10
+    )
     hints = jnp.full((2,), HINT_DOWN, jnp.int32)
     scale = cfg.polar_flow_scale
     if scale != 1.0:
@@ -421,11 +426,27 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
         jnp.arange(ext_w, dtype=jnp.float32),
         indexing="ij",
     )
-    coords = jnp.stack(
-        [gx[None] + warp_scale * flow[:, 0], gy[None] + warp_scale * flow[:, 1]],
-        axis=1,
+    # banded remap: the warp displacement is a ramped, blurred flow, so
+    # clamp it to physical halos and sample only static windows around
+    # each output tile (ops/window_sampler.py) — the dense remap's
+    # full-extent one-hot matmuls were the single most expensive op in
+    # the round-1 frame at >=2016-wide
+    halo_y = max(16, int(0.25 * rows_f))
+    halo_x = max(16, int(0.02 * eqr_w))
+    disp_x = jnp.clip(warp_scale * flow[:, 0], -halo_x, halo_x)
+    disp_y = jnp.clip(warp_scale * flow[:, 1], -halo_y, halo_y)
+    warped_ext = sample_displaced(
+        ext_fish,
+        gx[None] + disp_x,
+        gy[None] + disp_y,
+        halo_y=halo_y,
+        halo_x=halo_x,
+        interpolation="bicubic",
+        border="constant",
+        tr=16,
+        tc=128,
+        tile_chunk=8,
     )
-    warped_ext = remap(ext_fish, coords, interpolation="bicubic", border="constant")
 
     # fold the right extension back onto the left edge
     # (TestRenderStereoPanorama.cpp:505-524)

@@ -1,0 +1,136 @@
+"""Parity tests: the static-window tiled sampler must match the dense
+reference samplers exactly (same taps, same weights) for displacements
+within its halos."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surround360_tpu.ops.remap import remap
+from surround360_tpu.ops.window_sampler import (
+    build_windows,
+    plan_windows,
+    sample_displaced,
+    sample_windows,
+)
+
+
+def _smooth_field(rng, shape, amp):
+    """Smooth random displacement field bounded by amp."""
+    coarse = rng.uniform(-amp, amp, (shape[0], 5, 7)).astype(np.float32)
+    import jax.image
+
+    return np.asarray(
+        jax.image.resize(jnp.asarray(coarse), shape, "cubic")
+    ).clip(-amp, amp)
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("hw", [(40, 300), (97, 133), (30, 60)])
+def test_matches_dense_remap_constant(interp, hw):
+    rng = np.random.default_rng(0)
+    H, W = hw
+    B, C = 2, 3
+    img = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    dx = _smooth_field(rng, (B, H, W), 9.0)
+    dy = _smooth_field(rng, (B, H, W), 5.0)
+    x = gx[None] + dx
+    y = gy[None] + dy
+
+    out = sample_displaced(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y),
+        halo_y=6, halo_x=10, interpolation=interp, border="constant",
+        tr=8, tc=32,
+    )
+    coords = jnp.stack([jnp.asarray(x), jnp.asarray(y)], axis=1)
+    ref = remap(
+        jnp.asarray(img), coords, interpolation=interp, border="constant",
+        method="gather",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_matches_bilinear_extend_clamp():
+    """Clamp border + coordinate pre-clip reproduces the flow solver's
+    bilinear-extend semantics (PixFlow.h:457-475)."""
+    from surround360_tpu.flow.pixflow import _sample_bilinear_extend
+
+    rng = np.random.default_rng(1)
+    B, C, H, W = 3, 2, 57, 83
+    img = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    # displacements beyond borders: the pre-clip keeps taps in-image
+    dx = _smooth_field(rng, (B, H, W), 7.0)
+    dy = _smooth_field(rng, (B, H, W), 7.0)
+    x = jnp.clip(gx[None] + dx, 0.0, W - 2.0)
+    y = jnp.clip(gy[None] + dy, 0.0, H - 2.0)
+
+    out = sample_displaced(
+        jnp.asarray(img), x, y, halo_y=8, halo_x=8,
+        interpolation="bilinear", border="clamp", tr=8, tc=32,
+    )
+    ref = _sample_bilinear_extend(
+        jnp.asarray(img), x[:, None], y[:, None]
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_windows_reused_across_fields():
+    """build_windows once, sample twice with different coords."""
+    rng = np.random.default_rng(2)
+    B, C, H, W = 2, 2, 64, 96
+    img = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    plan = plan_windows((H, W), (H, W), 5, 5, "bilinear", "clamp", 8, 32)
+    win = build_windows(img, plan)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    for seed in (3, 4):
+        r = np.random.default_rng(seed)
+        dx = _smooth_field(r, (B, H, W), 4.0)
+        dy = _smooth_field(r, (B, H, W), 4.0)
+        x = jnp.clip(gx[None] + dx, 0.0, W - 2.0)
+        y = jnp.clip(gy[None] + dy, 0.0, H - 2.0)
+        out = sample_windows(win, plan, x, y)
+        from surround360_tpu.flow.pixflow import _sample_bilinear_extend
+
+        ref = _sample_bilinear_extend(img, x[:, None], y[:, None])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_single_tile_fallback():
+    """Tiny images degrade to one full window and stay exact."""
+    rng = np.random.default_rng(5)
+    B, C, H, W = 1, 2, 12, 14
+    img = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    x = jnp.clip(gx[None] + 2.3, 0.0, W - 2.0)
+    y = jnp.clip(gy[None] - 1.7, 0.0, H - 2.0)
+    out = sample_displaced(
+        img, x, y, halo_y=4, halo_x=4, interpolation="bilinear",
+        border="clamp",
+    )
+    from surround360_tpu.flow.pixflow import _sample_bilinear_extend
+
+    ref = _sample_bilinear_extend(img, x[:, None], y[:, None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_beyond_halo_clamps_gracefully():
+    """Displacements beyond the halo must not produce NaNs or wild values;
+    constant border reads (partially) zero."""
+    rng = np.random.default_rng(6)
+    B, C, H, W = 1, 1, 40, 80
+    img = jnp.asarray(
+        rng.uniform(0.5, 1.0, (B, C, H, W)).astype(np.float32)
+    )
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    x = jnp.asarray((gx[None] + 30.0).clip(0, W - 2.0).astype(np.float32))
+    y = jnp.asarray(np.broadcast_to(gy[None], (B, H, W)).astype(np.float32))
+    out = np.asarray(
+        sample_displaced(
+            img, x, y, halo_y=2, halo_x=4, interpolation="bilinear",
+            border="constant", tr=8, tc=16,
+        )
+    )
+    assert np.isfinite(out).all()
+    assert (np.abs(out) <= 1.0 + 1e-5).all()
