@@ -85,6 +85,7 @@ def main():
         jnp.asarray(views[rig.bottom_camera_index]) if full_sphere else None
     )
 
+    temporal = os.environ.get("S360_BENCH_TEMPORAL", "0") == "1"
     if frame_batch > 1:
         import jax as _jax
         from surround360_tpu.render.panorama import render_frame
@@ -101,11 +102,40 @@ def main():
             else None
         )
 
-        @_jax.jit
-        def render_batch(s, t, b):
-            return _jax.vmap(
-                lambda s1, t1, b1: render_frame(ctx, s1, t1, b1)[0]["equirect"]
-            )(s, t, b)
+        if temporal:
+            # honest video semantics: frames chained through the temporal
+            # flow prior (reference frame chain) — scan instead of vmap
+            @_jax.jit
+            def render_batch(s, t, b):
+                out0, st = render_frame(
+                    ctx,
+                    s[0],
+                    None if t is None else t[0],
+                    None if b is None else b[0],
+                )
+
+                def body(carry, frame):
+                    s1, t1, b1 = frame
+                    out, st = render_frame(
+                        ctx, s1, t1, b1, state=carry, use_temporal=True
+                    )
+                    return st, out["equirect"]
+
+                xs = (
+                    s[1:],
+                    None if t is None else t[1:],
+                    None if b is None else b[1:],
+                )
+                _, outs = _jax.lax.scan(body, st, xs)
+                return jnp.concatenate([out0["equirect"][None], outs])
+        else:
+            @_jax.jit
+            def render_batch(s, t, b):
+                return _jax.vmap(
+                    lambda s1, t1, b1: render_frame(ctx, s1, t1, b1)[0][
+                        "equirect"
+                    ]
+                )(s, t, b)
 
         out = render_batch(fside, ftop, fbot)
         np.asarray(out[0, 0, 0, 0])
@@ -136,7 +166,8 @@ def main():
                     f"stereo equirect render fps ({eqr_w}x{eqr_h} per eye, "
                     f"full pipeline incl. 28 pair flows"
                     f"{' + top/bottom pole composite' if full_sphere else ''}"
-                    f"{f', batch {frame_batch}' if frame_batch > 1 else ''}, "
+                    f"{f', batch {frame_batch}' if frame_batch > 1 else ''}"
+                    f"{', temporal chain' if (frame_batch > 1 and temporal) else ''}, "
                     f"1 chip)"
                 ),
                 "value": round(fps, 3),

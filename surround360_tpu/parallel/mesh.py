@@ -20,6 +20,7 @@ NamedSharding and XLA inserts the comms.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -75,9 +76,22 @@ def sharded_render_step(
     frames_bottom | None, state) -> (outputs with leading F, new_state).
     F must be divisible by the ``data`` axis; N by the ``ring`` axis
     (14 pairs pad naturally on 1/2/7/14-way ring axes).
+
+    use_temporal=True gives chunked-sequential semantics, matching the
+    reference's frame chain (TestRenderStereoPanorama.cpp:210-256): each
+    data shard takes a contiguous chunk of frames and lax.scans over it
+    carrying the flow-prior state; chunks run in parallel across the
+    ``data`` axis and the chain only breaks at chunk boundaries. ``state``
+    may be the per-shard state pytree returned by a previous step (leading
+    dim = data-axis size) to chain across batches; with state=None each
+    shard's first frame renders priorless (like the reference's frame 0).
     """
+    dp = mesh.shape["data"]
     cam_sharding = NamedSharding(mesh, P("data", "ring"))
     fish_sharding = NamedSharding(mesh, P("data"))
+    chunk_cam = NamedSharding(mesh, P("data", None, "ring"))
+    chunk_fish = NamedSharding(mesh, P("data"))
+    state_sharding = NamedSharding(mesh, P("data"))
 
     def step(frames_side, frames_top, frames_bottom, state):
         frames_side = jax.lax.with_sharding_constraint(
@@ -92,14 +106,72 @@ def sharded_render_step(
                 frames_bottom, fish_sharding
             )
 
-        def one_frame(side, top, bottom):
-            out, new_state = render_frame(
-                ctx, side, top, bottom, state=None, use_temporal=False
-            )
-            return out, new_state
+        if not use_temporal:
+            def one_frame(side, top, bottom):
+                return render_frame(
+                    ctx, side, top, bottom, state=None, use_temporal=False
+                )
 
-        outputs, states = jax.vmap(one_frame)(
-            frames_side, frames_top, frames_bottom
+            outputs, states = jax.vmap(one_frame)(
+                frames_side, frames_top, frames_bottom
+            )
+            return outputs, states
+
+        F = frames_side.shape[0]
+        assert F % dp == 0, f"frames {F} not divisible by data axis {dp}"
+        c = F // dp
+
+        def to_chunks(a, sh):
+            if a is None:
+                return None
+            a = a.reshape((dp, c) + a.shape[1:])
+            return jax.lax.with_sharding_constraint(a, sh)
+
+        cs = to_chunks(frames_side, chunk_cam)
+        ct = to_chunks(frames_top, chunk_fish)
+        cb = to_chunks(frames_bottom, chunk_fish)
+
+        def chunk_scan(side_c, top_c, bottom_c, init_state):
+            start = 0
+            if init_state is None:
+                # frame 0 renders priorless and seeds the carry structure
+                out0, init_state = render_frame(
+                    ctx,
+                    side_c[0],
+                    None if top_c is None else top_c[0],
+                    None if bottom_c is None else bottom_c[0],
+                    state=None,
+                    use_temporal=False,
+                )
+                start = 1
+
+            def body(carry, frame):
+                side, top, bottom = frame
+                out, new_state = render_frame(
+                    ctx, side, top, bottom, state=carry, use_temporal=True
+                )
+                return new_state, out
+
+            xs = (
+                side_c[start:],
+                None if top_c is None else top_c[start:],
+                None if bottom_c is None else bottom_c[start:],
+            )
+            last_state, outs = jax.lax.scan(body, init_state, xs)
+            if start:
+                outs = jax.tree_util.tree_map(
+                    lambda o0, os: jnp.concatenate([o0[None], os]), out0, outs
+                )
+            return outs, last_state
+
+        in_axes = (0, None if ct is None else 0, None if cb is None else 0,
+                   None if state is None else 0)
+        outputs, states = jax.vmap(chunk_scan, in_axes=in_axes)(
+            cs, ct, cb, state
+        )
+        states = jax.lax.with_sharding_constraint(states, state_sharding)
+        outputs = jax.tree_util.tree_map(
+            lambda o: o.reshape((F,) + o.shape[2:]), outputs
         )
         return outputs, states
 

@@ -69,3 +69,69 @@ class TestShardedRender:
             np.testing.assert_allclose(
                 out[f], np.asarray(single["equirect"]), atol=1e-4
             )
+
+
+class TestShardedTemporal:
+    @needs_8
+    def test_chunked_sequential_matches_single_device_chain(self):
+        """use_temporal=True: each data shard scans its contiguous frame
+        chunk carrying the flow prior — identical to a sequential
+        single-device loop over that chunk (reference frame chain,
+        TestRenderStereoPanorama.cpp:210-256)."""
+        from surround360_tpu.capture import render_camera_views
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.render.panorama import (
+            RenderConfig,
+            build_render_context,
+            render_frame,
+        )
+
+        rig = make_ring_rig().rescaled(0.03125)
+        cfg = RenderConfig(
+            eqr_width=140, eqr_height=70, side_flow_alg="pixflow_tpu"
+        )
+        ctx = build_render_context(rig, cfg)
+        views = render_camera_views(rig)
+        side = jnp.asarray(
+            np.stack([views[rig.ids.index(s)] for s in rig.side_ids])
+        )
+
+        mesh = make_render_mesh(jax.devices()[:8], num_side_cams=14)
+        dp = mesh.shape["data"]
+        c = 2
+        F = dp * c
+        # distinct frames: global brightness drift makes the temporal
+        # prior actually matter
+        gains = (0.8 + 0.4 * np.arange(F) / max(F - 1, 1)).astype(np.float32)
+        frames = jnp.stack(
+            [
+                jnp.concatenate([side[:, :3] * g, side[:, 3:]], axis=1)
+                for g in gains
+            ]
+        )
+
+        step, _ = sharded_render_step(ctx, mesh, use_temporal=True)
+        sharded = shard_frame_batch(mesh, frames)
+        outputs, states = step(sharded, None, None, None)
+        out = np.asarray(outputs["equirect"])
+        assert out.shape[0] == F
+
+        # sequential reference per chunk (chain resets at chunk borders)
+        for d in range(dp):
+            st = None
+            for i in range(c):
+                f = d * c + i
+                ref, st = render_frame(
+                    ctx,
+                    frames[f],
+                    state=st,
+                    use_temporal=st is not None,
+                )
+                np.testing.assert_allclose(
+                    out[f], np.asarray(ref["equirect"]), atol=1e-4,
+                    err_msg=f"shard {d} frame {i}",
+                )
+
+        # chaining across batches: feed the returned per-shard states back
+        outputs2, _ = step(sharded, None, None, states)
+        assert np.asarray(outputs2["equirect"]).shape[0] == F
