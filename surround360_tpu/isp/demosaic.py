@@ -21,14 +21,15 @@ __all__ = ["demosaic_bilinear", "demosaic_edge_aware", "demosaic_frequency"]
 
 def _shift_reflect(x, dy: int, dx: int):
     """x[..., reflect(i+dy), reflect(j+dx)] with the reference's reflect()
-    boundary (MathUtil.h reflect: -1 -> 0, n -> n-1 mirror)."""
+    boundary (MathUtil.h:42-44: x < 0 -> -x, x >= n -> 2n - x - 2, i.e.
+    mirror WITHOUT repeating the edge sample)."""
     H, W = x.shape[-2:]
     iy = np.arange(H) + dy
-    iy = np.where(iy < 0, -iy - 1, iy)
-    iy = np.where(iy >= H, 2 * H - 1 - iy, iy)
+    iy = np.where(iy < 0, -iy, iy)
+    iy = np.where(iy >= H, 2 * H - 2 - iy, iy)
     ix = np.arange(W) + dx
-    ix = np.where(ix < 0, -ix - 1, ix)
-    ix = np.where(ix >= W, 2 * W - 1 - ix, ix)
+    ix = np.where(ix < 0, -ix, ix)
+    ix = np.where(ix >= W, 2 * W - 2 - ix, ix)
     return x[..., iy[:, None], ix[None, :]]
 
 
