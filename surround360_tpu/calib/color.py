@@ -16,8 +16,11 @@ reference does (ColorCalibration.cpp:1312-1340: WB from M^-1 * ones,
 scaled to the most sensitive channel; CCM rows normalized to sum 1).
 
 Chart *detection* is classic CV and runs host-side on OpenCV
-(detect_color_chart), a simplified but robust version of
-detectColorChart (ColorCalibration.cpp:504-917).
+(detect_color_chart), stage-for-stage after detectColorChart
+(ColorCalibration.cpp:504-917): adaptive threshold, cross-element gap
+closing, small-object removal, dilation, per-component contour
+straightening, convex-quad filtering, nearest-neighbor outlier rejection
+and top-line row sorting.
 """
 
 from __future__ import annotations
@@ -276,81 +279,148 @@ def detect_color_chart(
     image_rgb: np.ndarray,  # (3, H, W) float [0,1]
     num_cols: int = 6,
     num_rows: int = 4,
-    min_area_frac: float = 2e-5,
-    max_area_frac: float = 2e-2,
+    min_area_chart_frac: float = 5e-4,
+    max_area_chart_frac: float = 0.5,
 ):
     """Detect MacBeth-chart patches; returns (centroids (P,2) raster order,
-    rgb medians (P,3)). Simplified detectColorChart
-    (ColorCalibration.cpp:504-917): adaptive threshold -> contour
-    extraction -> squarish-blob filtering -> size-consistency outlier
-    rejection -> raster sort -> per-patch median."""
+    rgb medians (P,3)).
+
+    Follows detectColorChart (ColorCalibration.cpp:504-672) stage for
+    stage: scale + blur -> adaptive threshold -> morphological gap fill
+    (MORPH_CLOSE, cross) -> small-object removal -> dilation -> connected
+    components -> per-component contours straightened with approxPolyDP
+    (0.08 * arcLength) -> 4-vertex convex aspect<=2 filtering ->
+    min-distance outlier rejection (removeContourOutliers, :808-840) ->
+    row-by-row sort against the top-left/top-right line (sortPatches,
+    :842-917) -> per-patch median color inside the contour mask.
+    """
     import cv2
 
-    hwc = np.moveaxis(np.asarray(image_rgb), 0, -1)
-    grey = (cv2.cvtColor(hwc.astype(np.float32), cv2.COLOR_RGB2GRAY) * 255).astype(
-        np.uint8
+    hwc = np.moveaxis(np.asarray(image_rgb), 0, -1).astype(np.float32)
+    H, W = hwc.shape[:2]
+    grey = cv2.cvtColor(hwc, cv2.COLOR_RGB2GRAY)
+
+    # scale to brighten + blur (ColorCalibration.cpp:515-523)
+    scaled = np.clip(2.0 * grey * 255.0, 0, 255).astype(np.uint8)
+    blurred = cv2.GaussianBlur(scaled, (15, 15), 0)
+
+    # adaptive threshold (mean, block 19, C=2, inverted; :530-544)
+    bw = cv2.adaptiveThreshold(
+        blurred, 255, cv2.ADAPTIVE_THRESH_MEAN_C, cv2.THRESH_BINARY_INV,
+        19, 2,
     )
-    H, W = grey.shape
-    # polarity-independent region extraction: patches are uniform regions
-    # bounded by edges, whatever their brightness relative to the surround
-    # (robustness goal of the reference's fillGaps/dilateGaps morphology,
-    # ColorCalibration.cpp:504-917). Edge-detect each color channel so
-    # iso-luminant chroma boundaries still separate patches.
-    chans8 = (np.clip(hwc, 0, 1) * 255).astype(np.uint8)
-    edges = np.zeros_like(grey)
-    for c in range(3):
-        edges = cv2.bitwise_or(edges, cv2.Canny(chans8[..., c], 12, 40))
-    edges = cv2.dilate(edges, np.ones((3, 3), np.uint8))
-    regions = cv2.bitwise_not(edges)
-    n_labels, labels, stats, centroids_cc = cv2.connectedComponentsWithStats(
-        regions, connectivity=4
+
+    num_patches = num_cols * num_rows
+    min_area_chart = min_area_chart_frac * H * W
+    max_area_chart = max_area_chart_frac * H * W
+    min_area_patch = min_area_chart / num_patches
+    max_area_patch = max_area_chart / num_patches
+    # morph element radius (createMorphElement, :714-726)
+    elem_frac = 10.0 * min_area_patch / (H * W)
+    radius = max(1, int(elem_frac * min(H, W)))
+
+    # fillGaps: closing with a cross element (:674-692)
+    cross = cv2.getStructuringElement(
+        cv2.MORPH_CROSS, (2 * radius + 1, 2 * radius + 1)
     )
-    cands = []
-    for lbl in range(1, n_labels):
-        x, y, w, h, area = stats[lbl]
-        if not (min_area_frac * H * W <= area <= max_area_frac * H * W):
+    bw = cv2.morphologyEx(bw, cv2.MORPH_CLOSE, cross)
+
+    # removeSmallObjects (< 0.3 * minAreaPatch; :728-765)
+    n_lbl, labels, stats, _ = cv2.connectedComponentsWithStats(bw)
+    small = stats[:, cv2.CC_STAT_AREA] < 0.3 * min_area_patch
+    bw = np.where(small[labels], 0, bw).astype(np.uint8)
+
+    # dilateGaps: rect dilation so contours stay inside patches (:694-712)
+    rect = cv2.getStructuringElement(
+        cv2.MORPH_RECT, (2 * radius + 1, 2 * radius + 1)
+    )
+    bw = cv2.dilate(bw, rect)
+
+    # per-component contour extraction (:570-608)
+    n_lbl, labels, stats, _ = cv2.connectedComponentsWithStats(bw, 8)
+    contours_all = []
+    for lbl in range(1, n_lbl):
+        area = stats[lbl, cv2.CC_STAT_AREA]
+        w = stats[lbl, cv2.CC_STAT_WIDTH]
+        h = stats[lbl, cv2.CC_STAT_HEIGHT]
+        if area < min_area_chart or w * h > max_area_chart:
             continue
-        if not (0.6 <= w / max(h, 1) <= 1.67):
+        comp = (labels == lbl).astype(np.uint8) * 255
+        conts, _ = cv2.findContours(
+            comp, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
+        )
+        conts = [
+            cv2.approxPolyDP(c, 0.08 * cv2.arcLength(c, True), True)
+            for c in conts
+        ]
+        # the chart body yields >= patches + 1 contours (+1 = border)
+        if len(conts) >= num_patches + 1:
+            contours_all.extend(conts)
+
+    # contour filtering (:610-648): 4 vertices, convex, aspect <= 2
+    patches = []
+    for cont in contours_all:
+        if len(cont) != 4 or not cv2.isContourConvex(cont):
             continue
-        if area / (w * h) < 0.7:
+        box = cv2.minAreaRect(cont)
+        bw_, bh_ = box[1]
+        if min(bw_, bh_) <= 0:
             continue
-        cx, cy = centroids_cc[lbl]
-        cands.append((cx, cy, float(area), w, h))
-    if len(cands) < num_cols * num_rows:
+        area = cv2.moments(cont)["m00"]
+        if not (min_area_patch <= area <= max_area_patch):
+            continue
+        if max(bw_, bh_) / min(bw_, bh_) > 2.0:
+            continue
+        patches.append((np.asarray(box[0], np.float64), cont))
+    if len(patches) < num_patches:
         raise ValueError(
-            f"found only {len(cands)} patch candidates, need {num_cols * num_rows}"
+            f"found only {len(patches)} patch candidates, need {num_patches}"
         )
 
-    # size-consistency: keep blobs near the median area
-    areas = np.array([c[2] for c in cands])
-    med = np.median(areas)
-    cands = [c for c in cands if 0.5 * med <= c[2] <= 2.0 * med]
+    # removeContourOutliers (:808-840): drop patches whose nearest
+    # neighbor is > 2x the median nearest-neighbor distance
+    cents = np.stack([p[0] for p in patches])
+    d = np.linalg.norm(cents[:, None] - cents[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    min_d = d.min(axis=1)
+    # the reference's "median" = sorted[len/2] (ColorCalibration.cpp:829)
+    keep = min_d < 2.0 * np.sort(min_d)[len(min_d) // 2]
+    patches = [p for p, k in zip(patches, keep) if k]
 
-    # raster sort: cluster rows by y, sort each row by x
-    cands.sort(key=lambda c: c[1])
-    rows = []
-    row = [cands[0]]
-    tol = np.median([c[4] for c in cands]) * 0.8
-    for c in cands[1:]:
-        if abs(c[1] - row[-1][1]) < tol:
-            row.append(c)
+    # sortPatches (:842-917): repeatedly take the num_cols centroids
+    # closest to the line through the current top-left / top-right
+    # patches, sort each row by x
+    remaining = list(range(len(patches)))
+    cents = np.stack([p[0] for p in patches])
+    order = []
+    while remaining:
+        pts = cents[remaining]
+        tl = remaining[int(np.argmin(np.linalg.norm(pts - [0, 0], axis=1)))]
+        tr = remaining[int(np.argmin(np.linalg.norm(pts - [W, 0], axis=1)))]
+        p1, p2 = cents[tl], cents[tr]
+        seg = p2 - p1
+        nrm = np.linalg.norm(seg)
+        if nrm < 1e-6:
+            dists = np.abs(pts[:, 1] - p1[1])
         else:
-            rows.append(sorted(row, key=lambda c: c[0]))
-            row = [c]
-    rows.append(sorted(row, key=lambda c: c[0]))
-    rows = [r for r in rows if len(r) == num_cols]
-    if len(rows) < num_rows:
-        raise ValueError(
-            f"found {len(rows)} complete rows of {num_cols}, need {num_rows}"
-        )
-    rows = rows[:num_rows]
+            rel = pts - p1
+            dists = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / nrm
+        idx = np.argsort(dists, kind="stable")[: num_cols]
+        row = sorted((remaining[i] for i in idx), key=lambda i: cents[i][0])
+        order.extend(row)
+        remaining = [i for i in remaining if i not in row]
 
     centroids, medians = [], []
-    for r in rows:
-        for (cx, cy, area, w, h) in r:
-            centroids.append([cx, cy])
-            x0, x1 = int(cx - w * 0.3), int(cx + w * 0.3)
-            y0, y1 = int(cy - h * 0.3), int(cy + h * 0.3)
-            patch = hwc[y0:y1, x0:x1]
-            medians.append(np.median(patch.reshape(-1, 3), axis=0))
+    for i in order:
+        c, cont = patches[i]
+        mask = np.zeros((H, W), np.uint8)
+        cv2.drawContours(mask, [cont], -1, 255, cv2.FILLED)
+        # erode so the median ignores boundary mixing (getClosestPatchTo
+        # samples inside the mask)
+        mask = cv2.erode(mask, np.ones((3, 3), np.uint8))
+        sel = mask > 0
+        if sel.sum() < 4:
+            sel = cv2.dilate(mask, np.ones((3, 3), np.uint8)) > 0
+        centroids.append(c)
+        medians.append(np.median(hwc[sel].reshape(-1, 3), axis=0))
     return np.asarray(centroids), np.asarray(medians)

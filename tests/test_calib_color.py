@@ -117,25 +117,100 @@ class TestDeltaE:
 
 
 class TestChartDetection:
-    def test_detects_synthetic_chart(self):
-        rng = np.random.default_rng(4)
+    """Adversarial fixtures for the reference-structured detector
+    (detectColorChart, ColorCalibration.cpp:504-672): the physical chart
+    is a dark frame with dark separators; patches are its holes."""
+
+    def _render_chart(
+        self,
+        rotation_deg=0.0,
+        perspective=0.0,
+        noise=0.0,
+        vignette=False,
+        seed=4,
+    ):
+        import cv2
+
+        rng = np.random.default_rng(seed)
         H, W = 480, 640
-        img = np.full((H, W, 3), 0.15, np.float32)
-        colors = np.clip(lab_to_rgb(LAB_MACBETH["D50"], "D50"), 0.02, 1.0)
-        pw, ph, gap = 60, 60, 20
-        x0, y0 = 80, 60
+        img = np.full((H, W, 3), 0.35, np.float32)
+        colors = np.clip(lab_to_rgb(LAB_MACBETH["D50"], "D50"), 0.03, 1.0)
+        pw, ph, gap = 36, 36, 10
+        cw = 6 * pw + 7 * gap
+        ch = 4 * ph + 5 * gap
+        x0, y0 = (W - cw) // 2, (H - ch) // 2
+        img[y0 : y0 + ch, x0 : x0 + cw] = 0.02  # chart body (dark frame)
         truth = []
         for r in range(4):
             for c in range(6):
-                x = x0 + c * (pw + gap)
-                y = y0 + r * (ph + gap)
+                x = x0 + gap + c * (pw + gap)
+                y = y0 + gap + r * (ph + gap)
                 img[y : y + ph, x : x + pw] = colors[r * 6 + c]
                 truth.append([x + pw / 2, y + ph / 2])
-        chw = np.moveaxis(img, -1, 0)
+        truth = np.asarray(truth, np.float64)
+
+        M = cv2.getRotationMatrix2D((W / 2, H / 2), rotation_deg, 1.0)
+        if perspective:
+            sq = np.float32([[0, 0], [W, 0], [W, H], [0, H]])
+            dst = sq + np.float32(
+                [[perspective * W, 0], [-perspective * W, perspective * H * 0.3],
+                 [perspective * W, 0], [-perspective * W, 0]]
+            )
+            P = cv2.getPerspectiveTransform(sq, dst)
+        else:
+            P = None
+        img = cv2.warpAffine(
+            img, M, (W, H), flags=cv2.INTER_LINEAR,
+            borderValue=(0.35, 0.35, 0.35),
+        )
+        ones = np.concatenate([truth, np.ones((24, 1))], axis=1)
+        truth = ones @ M.T
+        if P is not None:
+            img = cv2.warpPerspective(
+                img, P, (W, H), flags=cv2.INTER_LINEAR,
+                borderValue=(0.35, 0.35, 0.35),
+            )
+            t = np.concatenate([truth, np.ones((24, 1))], axis=1) @ P.T
+            truth = t[:, :2] / t[:, 2:]
+        if vignette:
+            yy, xx = np.mgrid[0:H, 0:W]
+            rad = ((xx - W / 2) ** 2 + (yy - H / 2) ** 2) / (W / 2) ** 2
+            img = img * (1.0 - 0.35 * rad)[..., None]
+        if noise:
+            img = np.clip(img + rng.normal(0, noise, img.shape), 0, 1)
+        return np.moveaxis(img.astype(np.float32), -1, 0), truth, colors
+
+    def _check(self, chw, truth, colors, cent_tol=3.0, color_tol=0.04):
         centroids, medians = detect_color_chart(chw)
         assert len(centroids) == 24
-        np.testing.assert_allclose(centroids, truth, atol=3.0)
-        np.testing.assert_allclose(medians, colors, atol=0.02)
+        np.testing.assert_allclose(centroids, truth, atol=cent_tol)
+        np.testing.assert_allclose(medians, colors, atol=color_tol)
+
+    def test_detects_axis_aligned_chart(self):
+        self._check(*self._render_chart())
+
+    def test_detects_rotated_chart(self):
+        self._check(*self._render_chart(rotation_deg=7.0), cent_tol=4.0)
+
+    def test_detects_perspective_chart(self):
+        self._check(*self._render_chart(perspective=0.04), cent_tol=5.0)
+
+    def test_detects_noisy_chart(self):
+        self._check(*self._render_chart(noise=0.02), color_tol=0.05)
+
+    def test_detects_vignetted_chart(self):
+        chw, truth, colors = self._render_chart(vignette=True)
+        centroids, medians = detect_color_chart(chw)
+        assert len(centroids) == 24
+        np.testing.assert_allclose(centroids, truth, atol=4.0)
+
+    def test_combined_adversarial(self):
+        chw, truth, colors = self._render_chart(
+            rotation_deg=5.0, noise=0.015, vignette=True
+        )
+        centroids, _ = detect_color_chart(chw)
+        assert len(centroids) == 24
+        np.testing.assert_allclose(centroids, truth, atol=5.0)
 
 
 class TestVignetting:
