@@ -42,6 +42,7 @@ def render_video(
     save_state_dir: str | None = None,
     resume_state: str | None = None,
     save_debug_images: bool = False,
+    profile_stages: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -122,6 +123,15 @@ def render_video(
                     "prev_bottom": bottom,
                     "prev_bottom2": bottom2,
                 }
+
+        if profile_stages and frame == start_frame:
+            # per-stage device-time table, the analog of the reference's
+            # per-frame stage log (TestRenderStereoPanorama.cpp:963-971)
+            from ..render.profiling import format_breakdown, stage_breakdown
+
+            log.info(
+                "%s", format_breakdown(stage_breakdown(ctx, side, top, bottom))
+            )
 
         outputs, state = render_frame(
             ctx,
@@ -217,6 +227,8 @@ def main(argv=None):
     p.add_argument("--save_state_dir", default=None)
     p.add_argument("--resume_state", default=None)
     p.add_argument("--save_debug_images", action="store_true")
+    p.add_argument("--profile_stages", action="store_true",
+                   help="log a per-stage device-time table before rendering")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
     setup_logging(args.verbose)
@@ -251,6 +263,7 @@ def main(argv=None):
         save_state_dir=args.save_state_dir,
         resume_state=args.resume_state,
         save_debug_images=args.save_debug_images,
+        profile_stages=args.profile_stages,
     )
 
 

@@ -180,18 +180,35 @@ def _pairs(taps):
     return [(idx, jnp.broadcast_to(w, idx.shape)) for idx, w in taps]
 
 
+def _static_axis_bounds(vals, n, pad_taps):
+    """Host: (lo, hi) source bounds actually sampled by ``vals`` —
+    coords far outside the frame can't contribute taps (constant border
+    zeroes them), so they are excluded."""
+    valid = (
+        np.isfinite(vals) & (vals > -(pad_taps + 1)) & (vals < n + pad_taps + 1)
+    )
+    vmin = float(vals[valid].min()) if valid.any() else 0.0
+    vmax = float(vals[valid].max()) if valid.any() else 0.0
+    lo = int(np.clip(np.floor(vmin) - pad_taps, 0, max(n - 1, 0)))
+    hi = int(np.clip(np.ceil(vmax) + pad_taps + 1, 1, n))
+    return lo, hi
+
+
 def remap_static_banded(
     img,
     coords_np: "np.ndarray",
     interpolation: str = "bicubic",
     border: str = "constant",
     chunk_rows: int = 32,
+    tile_cols: int = 128,
 ):
-    """Matmul remap for STATIC warps: the warp is known on host, so each
-    chunk of output rows only needs the band of source rows it actually
-    samples — stage A shrinks from (Pc x Hsrc) to (Pc x Hband), cutting
-    the dense one-hot matmul's wasted work by Hsrc/Hband (typically 4-8x
-    for smooth lens warps).
+    """Matmul remap for STATIC warps, banded in BOTH axes: the warp is
+    known on host, so each chunk of output rows only needs the band of
+    source rows it actually samples, and within a chunk each tile of
+    output columns only needs its band of source columns. Stage A shrinks
+    from (Pc x Hsrc x Wsrc) contractions to (Pt x Hband x Wband) — the
+    exact per-tile extents, no halo guessing. Lens warps are smooth, so
+    this typically cuts the dense one-hot matmul work 10-40x.
 
     img: (C, H, W) or (B, C, H, W) sharing ONE warp; coords_np: host numpy
     (2, Ho, Wo). Returns (..., C, Ho, Wo)."""
@@ -199,26 +216,11 @@ def remap_static_banded(
     _, Ho, Wo = coords_np.shape
     H, W = img.shape[-2:]
     n_chunks = -(-Ho // chunk_rows)
-
-    # host: per-chunk source-row bands (uniform height so chunks stack)
     pad_taps = 3 if interpolation == "bicubic" else 1
-    y0s, y1s = [], []
-    for c in range(n_chunks):
-        ys = coords_np[1, c * chunk_rows : (c + 1) * chunk_rows]
-        # coords far outside the frame can't contribute taps (constant
-        # border zeroes them) — exclude them from the band bounds
-        valid = (
-            np.isfinite(ys)
-            & (ys > -(pad_taps + 1))
-            & (ys < H + pad_taps + 1)
-        )
-        ymin = float(ys[valid].min()) if valid.any() else 0.0
-        ymax = float(ys[valid].max()) if valid.any() else 0.0
-        y0s.append(int(np.clip(np.floor(ymin) - pad_taps, 0, max(H - 1, 0))))
-        y1s.append(int(np.clip(np.ceil(ymax) + pad_taps, 1, H)))
-    hb = max(1, max(y1 - y0 for y0, y1 in zip(y0s, y1s)))
-    hb = min(hb, H)
-    y0s = [min(y0, H - hb) for y0 in y0s]
+    # "wrap" x coords can sample across the seam; banding x would need
+    # modular windows — keep wrap remaps x-unbanded (y banding still wins)
+    band_x = border != "wrap" and Wo > tile_cols
+    ntx = -(-Wo // tile_cols) if band_x else 1
 
     def taps_1d(t, i0):
         if interpolation == "bilinear":
@@ -232,23 +234,91 @@ def remap_static_banded(
     outs = []
     for c in range(n_chunks):
         rows = slice(c * chunk_rows, min((c + 1) * chunk_rows, Ho))
+        nrows = rows.stop - rows.start
+        y_lo, y_hi = _static_axis_bounds(
+            coords_np[1, rows], H, pad_taps
+        )
+        hb = y_hi - y_lo
+        band = img[..., y_lo:y_hi, :]
         co = jnp.asarray(coords_np[:, rows], jnp.float32)
-        x = co[0].reshape(-1)
-        y = co[1].reshape(-1) - y0s[c]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        ohx = _onehot_weights_1d(
-            _pairs(taps_1d(x - x0, x0.astype(jnp.int32))), W, x_mode
+
+        if not band_x:
+            x = co[0].reshape(-1)
+            y = co[1].reshape(-1) - y_lo
+            ohx = _onehot_weights_1d(
+                _pairs(taps_1d(x - jnp.floor(x), jnp.floor(x).astype(jnp.int32))),
+                W, x_mode,
+            )
+            ohy = _onehot_weights_1d(
+                _pairs(taps_1d(y - jnp.floor(y), jnp.floor(y).astype(jnp.int32))),
+                hb, y_mode,
+            )
+            tmp = jnp.einsum(
+                "pw,...chw->...cph", ohx, band, precision="float32"
+            )
+            out = jnp.einsum(
+                "ph,...cph->...cp", ohy, tmp, precision="float32"
+            )
+            outs.append(out.reshape(img.shape[:-2] + (nrows, Wo)))
+            continue
+
+        # host: per-tile x bounds, uniform width so tiles stack into one
+        # einsum per chunk
+        pad_c = ntx * tile_cols - Wo
+        cxs = np.pad(
+            coords_np[0, rows], [(0, 0), (0, pad_c)], mode="edge"
+        ).reshape(nrows, ntx, tile_cols)
+        x_los = []
+        wb = 1
+        for t in range(ntx):
+            lo, hi = _static_axis_bounds(cxs[:, t], W, pad_taps)
+            x_los.append(lo)
+            wb = max(wb, hi - lo)
+        x_los = [min(lo, W - wb) for lo in x_los]
+
+        cys = np.pad(
+            coords_np[1, rows], [(0, 0), (0, pad_c)], mode="edge"
+        ).reshape(nrows, ntx, tile_cols)
+        xs = jnp.asarray(
+            cxs.transpose(1, 0, 2).reshape(ntx, -1)
+            - np.asarray(x_los, np.float32)[:, None],
+            jnp.float32,
         )
-        ohy = _onehot_weights_1d(
-            _pairs(taps_1d(y - y0, y0.astype(jnp.int32))), hb, y_mode
+        ys = jnp.asarray(
+            cys.transpose(1, 0, 2).reshape(ntx, -1) - y_lo, jnp.float32
         )
-        band = img[..., y0s[c] : y0s[c] + hb, :]
-        tmp = jnp.einsum("pw,...chw->...cph", ohx, band, precision="float32")
-        out = jnp.einsum("ph,...cph->...cp", ohy, tmp, precision="float32")
-        outs.append(
-            out.reshape(img.shape[:-2] + (rows.stop - rows.start, Wo))
+        # absolute-index validity via shifted local windows: a tap is valid
+        # iff its absolute index is in range AND lands inside the window;
+        # both hold exactly because the host bounds cover all finite taps
+        windows = jnp.stack(
+            [band[..., lo : lo + wb] for lo in x_los]
+        )  # (ntx, ..., C, hb, wb)
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        ohx = jnp.stack([
+            _onehot_weights_1d(
+                _pairs(taps_1d((xs - x0)[t], x0[t].astype(jnp.int32))),
+                wb, "constant",
+            )
+            for t in range(ntx)
+        ])  # (ntx, P, wb)
+        ohy = jnp.stack([
+            _onehot_weights_1d(
+                _pairs(taps_1d((ys - y0)[t], y0[t].astype(jnp.int32))),
+                hb, y_mode if y_mode == "clamp" else "constant",
+            )
+            for t in range(ntx)
+        ])
+        tmp = jnp.einsum(
+            "xpw,x...chw->x...cph", ohx, windows, precision="float32"
         )
+        out = jnp.einsum(
+            "xph,x...cph->x...cp", ohy, tmp, precision="float32"
+        )  # (ntx, ..., C, P)
+        out = out.reshape((ntx,) + img.shape[:-2] + (nrows, tile_cols))
+        out = jnp.moveaxis(out, 0, -2)  # (..., nrows, ntx, tile_cols)
+        out = out.reshape(img.shape[:-2] + (nrows, ntx * tile_cols))
+        outs.append(out[..., :Wo])
     return jnp.concatenate(outs, axis=-2)
 
 

@@ -29,6 +29,7 @@ import numpy as np
 from ..flow import HINT_LEFT, HINT_RIGHT, compute_flow
 from ..ops.remap import remap
 from ..ops.resize import resize_matrix_cubic  # noqa: F401  (same tap math)
+from ..ops.window_sampler import sample_displaced
 
 __all__ = [
     "lazy_warp_columns",
@@ -103,12 +104,33 @@ def render_lazy_novel_view(
     )  # (B, 2, H, Wc)
 
     t = jnp.asarray(1.0 - t_cols if invert_t else t_cols)  # (Wc,)
-    # 2. compose the full warp and sample the source
+    # 2. compose the full warp and sample the source. The lazy warp is
+    # identity + constant offset (warp_x[c] = c + delta exactly,
+    # TestRenderStereoPanorama.cpp:278-279), so after slicing the source
+    # at floor(delta) the residual displacement is frac(delta) + t*flow —
+    # bounded — and the static-window banded sampler applies.
     gy = jnp.arange(H, dtype=jnp.float32)[:, None]
     warp_comp_x = jnp.asarray(warp_x)[None, None, :] + remapped_flow[:, 0] * t
     warp_comp_y = gy[None] + remapped_flow[:, 1] * t
-    coords = jnp.stack([warp_comp_x, warp_comp_y], axis=1)  # (B, 2, H, Wc)
-    novel = remap(src, coords, interpolation="bicubic", border="constant")
+    delta_i = int(np.floor(warp_x[0]))
+    if 0 < delta_i < W - Wc:
+        src_al = src[..., delta_i:]
+        halo_x = max(8, int(0.20 * src_al.shape[-1]))
+        halo_y = max(8, int(0.10 * H))
+        novel = sample_displaced(
+            src_al,
+            warp_comp_x - delta_i,
+            warp_comp_y,
+            halo_y=halo_y,
+            halo_x=halo_x,
+            interpolation="bicubic",
+            border="constant",
+            tr=8,
+            tc=128,
+        )
+    else:
+        coords = jnp.stack([warp_comp_x, warp_comp_y], axis=1)
+        novel = remap(src, coords, interpolation="bicubic", border="constant")
     # 3. pack (1 - t) into alpha; keep flow magnitude for the blend
     alpha = novel[:, 3] * (1.0 - t)[None, None, :]
     novel = jnp.concatenate([novel[:, :3], alpha[:, None]], axis=1)

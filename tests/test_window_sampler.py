@@ -134,3 +134,78 @@ def test_beyond_halo_clamps_gracefully():
     )
     assert np.isfinite(out).all()
     assert (np.abs(out) <= 1.0 + 1e-5).all()
+
+
+class TestStaticBandedRemap:
+    """remap_static_banded (now banded in both axes) must equal the dense
+    gather remap on real rig warps."""
+
+    def _check(self, warp, img_hw, tile_cols=64, chunk_rows=16):
+        import jax.numpy as jnp
+
+        from surround360_tpu.ops.remap import remap, remap_static_banded
+
+        rng = np.random.default_rng(8)
+        C, H, W = 4, *img_hw
+        img = jnp.asarray(rng.uniform(0, 1, (C, H, W)).astype(np.float32))
+        banded = remap_static_banded(
+            img, warp, "bicubic", "constant",
+            chunk_rows=chunk_rows, tile_cols=tile_cols,
+        )
+        dense = remap(
+            img, jnp.asarray(warp), interpolation="bicubic",
+            border="constant", method="gather",
+        )
+        np.testing.assert_allclose(
+            np.asarray(banded), np.asarray(dense), atol=3e-5
+        )
+
+    def test_side_camera_warp(self):
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
+
+        rig = make_ring_rig().rescaled(0.125)
+        sides = rig.side_cameras
+        h_rad = 2.0 * rig_fov(sides, False)
+        v_rad = 2.0 * rig_fov(sides, True)
+        warp, _ = side_cam_spherical_warp(
+            sides[2], 2, len(sides), (280, 140), h_rad, v_rad
+        )
+        self._check(warp, (128, 128))
+
+    def test_fisheye_strip_warp(self):
+        from surround360_tpu.geometry.camera import get_fov
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.warp import spherical_warp_for_camera
+
+        rig = make_ring_rig().rescaled(0.125)
+        cam = rig.cameras[rig.top_camera_index]
+        fov = get_fov(cam)
+        top_h = int(140 * fov / np.pi)
+        warp = spherical_warp_for_camera(
+            cam, (top_h, 280), 2 * np.pi, 0.0, np.pi / 2, np.pi / 2 - fov
+        )
+        self._check(warp, (128, 128))
+
+    def test_batched_image(self):
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
+        import jax.numpy as jnp
+
+        from surround360_tpu.ops.remap import remap, remap_static_banded
+
+        rig = make_ring_rig().rescaled(0.125)
+        sides = rig.side_cameras
+        h_rad = 2.0 * rig_fov(sides, False)
+        v_rad = 2.0 * rig_fov(sides, True)
+        warp, _ = side_cam_spherical_warp(
+            sides[0], 0, len(sides), (280, 140), h_rad, v_rad
+        )
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.uniform(0, 1, (3, 4, 128, 128)).astype(np.float32))
+        banded = remap_static_banded(img, warp, "bilinear", "constant",
+                                     chunk_rows=8, tile_cols=32)
+        dense = remap(img, jnp.asarray(warp), interpolation="bilinear",
+                      border="constant", method="gather")
+        np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                                   atol=3e-5)
