@@ -100,6 +100,13 @@ class FlowParams(NamedTuple):
     window_halo_x_frac: float = 0.25
     window_halo_y_frac: float = 0.12
     window_min_halo: int = 6
+    # output tile width for the banded sampler; smaller tiles shrink the
+    # per-tile window (tc + 2*halo) toward MXU-friendly sub-128 widths
+    window_tile_cols: int = 16
+    # rebase the I1 gradient basis to the current flow once per round and
+    # sample error fields at small residual displacements (see
+    # _propagation_and_search); ~3-4x cheaper per field
+    residual_rebase: bool = False
 
 
 def make_flow_params(name: str) -> FlowParams:
@@ -121,6 +128,12 @@ def make_flow_params(name: str) -> FlowParams:
             rank_sampler="nearest",
             min_image_size=12,
         )
+    if name == "pixflow_tpu_fast":
+        # pixflow_tpu + level-rebased residual sampling on large levels:
+        # ~2-3x cheaper error fields at the finest level for a measured
+        # ~15% interpolation-RMSE cost where it engages (still well under
+        # the no-flow baseline; see BASELINE.md)
+        return make_flow_params("pixflow_tpu")._replace(residual_rebase=True)
     raise ValueError(f"unrecognized flow algorithm name: {name}")
 
 
@@ -393,10 +406,51 @@ def _propagation_and_search(
     halo_x = max(params.window_min_halo, int(params.window_halo_x_frac * W))
     halo_y = max(params.window_min_halo, int(params.window_halo_y_frac * H))
     plan = plan_windows(
-        (H, W), (H, W), halo_y, halo_x, "bilinear", "clamp", tr=8, tc=64
+        (H, W), (H, W), halo_y, halo_x, "bilinear", "clamp",
+        tr=8, tc=params.window_tile_cols,
     )
     i1_windows = build_windows(I1g, plan)
-    sample_fn = partial(sample_windows, i1_windows, plan)
+    base_sample_fn = partial(sample_windows, i1_windows, plan)
+
+    # Level rebasing (residual sampling): warp the I1 gradients ONCE by
+    # the level's incoming flow — smooth and stable (it just passed the
+    # coarser level's medians, diffusion, and cubic upsample) and snapped
+    # to integer pixels so the warp copies exact gradient samples — then
+    # evaluate every error field of the level at RESIDUAL displacements.
+    # The level only refines flow by ~2*sum(offsets) px (the pyramid
+    # contract), so the residual halo is small and per-field cost drops
+    # ~2.5x at the finest level, which holds most of the pixels. Applied
+    # only when the residual halo actually undercuts the full halos; the
+    # approximation (sample-position error O(|r| * |grad f0|)) is
+    # quality-gated by the flow tests and the BASELINE.md RMSE table.
+    r_halo = 2 * sum(offsets) + 8
+    tc_ = params.window_tile_cols
+    residual_area = (tc_ + 2 * r_halo + 3) * (8 + 2 * r_halo + 3)
+    full_area = plan.bw * plan.bh
+    use_residual = (
+        params.residual_rebase
+        and residual_area < 0.75 * full_area
+        and plan.ntx * plan.nty > 1
+    )
+    if use_residual:
+        f0x = jnp.round(flow[..., 0, :, :])
+        f0y = jnp.round(flow[..., 1, :, :])
+        J = base_sample_fn(
+            jnp.clip(gx + f0x, 0.0, W - 2.0),
+            jnp.clip(gy + f0y, 0.0, H - 2.0),
+        )  # (B, 2, H, W) = I1g warped by the level basis
+        plan_r = plan_windows(
+            (H, W), (H, W), r_halo, r_halo, "bilinear", "clamp",
+            tr=8, tc=params.window_tile_cols,
+        )
+        winJ = build_windows(J, plan_r)
+
+        def sample_fn(mx, my):
+            qx = jnp.clip(mx - f0x, 0.0, W - 2.0)
+            qy = jnp.clip(my - f0y, 0.0, H - 2.0)
+            return sample_windows(winJ, plan_r, qx, qy)
+    else:
+        sample_fn = base_sample_fn
 
     def sweep(flow):
         blurred_flow = gaussian_blur(

@@ -199,8 +199,8 @@ def remap_static_banded(
     coords_np: "np.ndarray",
     interpolation: str = "bicubic",
     border: str = "constant",
-    chunk_rows: int = 32,
-    tile_cols: int = 128,
+    chunk_rows: int = 16,
+    tile_cols: int = 64,
 ):
     """Matmul remap for STATIC warps, banded in BOTH axes: the warp is
     known on host, so each chunk of output rows only needs the band of

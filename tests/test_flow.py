@@ -226,3 +226,21 @@ class TestPyramidSizes:
             want.append((nh, nw))
         assert sizes == want
         assert sizes[-1][0] > 24
+
+
+class TestResidualRebase:
+    def test_fast_preset_recovers_translation(self):
+        """pixflow_tpu_fast (level-rebased residual sampling) must still
+        recover a plain shift; the residual gate only engages on levels
+        where the small window wins, so force a larger scene."""
+        base = _texture(160, 240, seed=11)
+        i0 = base[:, 16:224]
+        i1 = base[:, 10:218]  # +6 px
+        flow = np.asarray(
+            compute_flow(
+                _rgba(i0), _rgba(i1), make_flow_params("pixflow_tpu_fast")
+            )
+        )
+        interior = flow[0, :, 30:-30, 30:-30]
+        assert abs(interior[0].mean() - 6.0) < 0.5
+        assert abs(interior[1].mean()) < 0.5
