@@ -7,9 +7,15 @@ projection + 28 pair flows + novel-view chunks + top/bottom pole flow
 composite) on ONE chip at the configured equirect size; vs_baseline is
 fps / 30.
 
-Env knobs: S360_BENCH_EQR_WIDTH (default 2016), S360_BENCH_CAM_SCALE
+Default config = video semantics: frame-batch 8 chained through the
+temporal flow prior with lax.scan (the reference's frame chain,
+TestRenderStereoPanorama.cpp:210-256), which also amortizes the relay's
+~40 ms per-dispatch floor across the batch.
+
+Env knobs: S360_BENCH_EQR_WIDTH (default 1008), S360_BENCH_CAM_SCALE
 (default 0.25 -> 512px cameras), S360_BENCH_FRAMES (default 5),
-S360_BENCH_FULL_SPHERE=0/1 (default 1: top+bottom enabled).
+S360_BENCH_FULL_SPHERE=0/1 (default 1: top+bottom enabled),
+S360_BENCH_BATCH (default 8), S360_BENCH_TEMPORAL=0/1 (default 1).
 """
 
 from __future__ import annotations
@@ -65,7 +71,7 @@ def main():
     cam_scale = float(os.environ.get("S360_BENCH_CAM_SCALE", "0.25"))
     n_frames = int(os.environ.get("S360_BENCH_FRAMES", "5"))
     full_sphere = os.environ.get("S360_BENCH_FULL_SPHERE", "1") == "1"
-    frame_batch = int(os.environ.get("S360_BENCH_BATCH", "1"))
+    frame_batch = int(os.environ.get("S360_BENCH_BATCH", "8"))
     eqr_h = eqr_w // 2
 
     rig = make_ring_rig().rescaled(cam_scale)
@@ -85,7 +91,7 @@ def main():
         jnp.asarray(views[rig.bottom_camera_index]) if full_sphere else None
     )
 
-    temporal = os.environ.get("S360_BENCH_TEMPORAL", "0") == "1"
+    temporal = os.environ.get("S360_BENCH_TEMPORAL", "1") == "1"
     if frame_batch > 1:
         import jax as _jax
         from surround360_tpu.render.panorama import render_frame
