@@ -1,0 +1,116 @@
+"""On-chip quality-preset benchmark: fps + peak HBM per preset.
+
+Renders the synthetic capture through the full pipeline at the
+reference's quality-preset geometries (batch_process_video.py:176-199,
+mirrored in cli/render_video.py::QUALITY_PRESETS) with full-resolution
+2048px cameras, and records ms/frame, fps, and peak device memory.
+This is the evidence the presets actually compile and run on one chip
+(the round-1 gap: presets declared but never exercised).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/preset_table.py
+Env: S360_PRESETS (default "3k,6k"), S360_PRESET_REPS (default 3),
+     S360_PRESET_CAM_SCALE (default 1.0 -> 2048px cameras).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from surround360_tpu.capture import render_camera_views
+    from surround360_tpu.cli.render_video import QUALITY_PRESETS
+    from surround360_tpu.geometry.rig import make_ring_rig
+    from surround360_tpu.render.panorama import (
+        RenderConfig,
+        build_render_context,
+        make_jitted_renderer,
+    )
+
+    presets = os.environ.get("S360_PRESETS", "3k,6k").split(",")
+    reps = int(os.environ.get("S360_PRESET_REPS", "3"))
+    cam_scale = float(os.environ.get("S360_PRESET_CAM_SCALE", "1.0"))
+
+    rig = make_ring_rig().rescaled(cam_scale)
+    views = render_camera_views(rig)
+    side = jnp.asarray(
+        np.stack([views[rig.ids.index(s)] for s in rig.side_ids])
+    )
+    top = jnp.asarray(views[rig.top_camera_index])
+    bottom = jnp.asarray(views[rig.bottom_camera_index])
+    dev = jax.devices()[0]
+
+    rows = []
+    for name in presets:
+        eqr_w, eqr_h, fin_w, fin_h = QUALITY_PRESETS[name.strip()]
+        cfg = RenderConfig(
+            eqr_width=eqr_w,
+            eqr_height=eqr_h,
+            final_eqr_width=fin_w,
+            final_eqr_height=fin_h,
+            side_flow_alg="pixflow_tpu",
+            polar_flow_alg="pixflow_tpu",
+            enable_top=True,
+            enable_bottom=True,
+        )
+        ctx = build_render_context(rig, cfg)
+        render = make_jitted_renderer(ctx)
+        t0 = time.time()
+        try:
+            out, _ = render(side, top, bottom, None)
+            np.asarray(out["equirect"][0, 0, 0])
+        except Exception as e:  # noqa: BLE001 - record OOM/compile failures
+            rows.append({"preset": name, "error": f"{type(e).__name__}: {e}"[:200]})
+            print(f"{name}: FAILED {type(e).__name__}", flush=True)
+            continue
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            out, _ = render(side, top, bottom, None)
+            np.asarray(out["equirect"][0, 0, 0])
+        ms = (time.time() - t0) / reps * 1e3
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:  # noqa: BLE001 - axon may not expose memory stats
+            pass
+        peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
+        rows.append(
+            {
+                "preset": name,
+                "eqr": f"{eqr_w}x{eqr_h}/eye",
+                "ms_per_frame": round(ms, 1),
+                "fps": round(1e3 / ms, 3),
+                "compile_s": round(compile_s, 1),
+                "peak_hbm_gb": round(peak_gb, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    print("\n| preset | eqr/eye | ms/frame | fps | peak HBM (GB) |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['preset']} | — | FAILED: {r['error']} | | |")
+        else:
+            print(
+                f"| {r['preset']} | {r['eqr']} | {r['ms_per_frame']} | "
+                f"{r['fps']} | {r['peak_hbm_gb']} |"
+            )
+
+
+if __name__ == "__main__":
+    main()

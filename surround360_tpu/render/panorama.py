@@ -77,8 +77,13 @@ class RenderConfig:
     polar_flow_alg: str = "pixflow_low"
     poleremoval_flow_alg: str = "pixflow_low"
     # compute the pole-to-side flow on inputs downscaled by this factor
-    # (the field is smooth and gets blurred anyway); 4x cheaper and avoids
-    # a TPU-worker fault observed on very wide flow shapes. 1.0 = full res.
+    # (the field is smooth and gets blurred anyway). Measured on chip at
+    # 1008/eye: 0.5 saves ~100 ms/frame over 1.0 with a 117 dB pole-band
+    # difference (identical 46.5 dB vs the analytic scene) — i.e. free.
+    # 1.0 = full res, the reference's geometry
+    # (TestRenderStereoPanorama.cpp:388-561); it works since the banded
+    # window sampler replaced the dense one-hot remap whose wide-shape
+    # program faulted the round-1 TPU worker.
     polar_flow_scale: float = 0.5
     cubemap_width: int = 0
     cubemap_height: int = 0

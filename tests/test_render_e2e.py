@@ -122,6 +122,34 @@ class TestFullSphereRender:
         p = psnr(left[:, band], expect[:, band])
         assert p > 25.0, f"full render side-band PSNR: {p:.1f} dB"
 
+    def test_polar_flow_full_res_matches_half_res(self, rig, views):
+        """polar_flow_scale=1.0 (the reference's full-res pole flow,
+        TestRenderStereoPanorama.cpp:388-561) must run and closely match
+        the cheaper 0.5 default (measured 117 dB apart on chip)."""
+        side_images = jnp.asarray(
+            np.stack(
+                [views[i] for i in [rig.ids.index(s) for s in rig.side_ids]]
+            )
+        )
+        top = jnp.asarray(views[rig.top_camera_index])
+        bottom = jnp.asarray(views[rig.bottom_camera_index])
+        outs = {}
+        for scale in (0.5, 1.0):
+            cfg = RenderConfig(
+                eqr_width=280,
+                eqr_height=140,
+                side_flow_alg="pixflow_tpu",
+                polar_flow_alg="pixflow_tpu",
+                enable_top=True,
+                enable_bottom=True,
+                polar_flow_scale=scale,
+            )
+            ctx = build_render_context(rig, cfg)
+            outputs, _ = render_frame(ctx, side_images, top, bottom)
+            outs[scale] = np.asarray(outputs["equirect"])
+        p = psnr(outs[0.5], outs[1.0])
+        assert p > 35.0, f"half-res vs full-res pole flow: {p:.1f} dB"
+
     def test_cubemap_output(self, rig, views):
         cfg = RenderConfig(
             eqr_width=280,
