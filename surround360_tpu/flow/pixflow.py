@@ -197,6 +197,12 @@ def _sample_nearest_extend(img, x, y):
 # matmul sampler (chunked over output rows when a level exceeds it).
 MATMUL_SAMPLER_MAX_ELEMS = 96 * 1024 * 1024
 
+# Target elements for the window sampler's per-axis one-hot operands in one
+# error-field contraction: bounds how many flow candidates ride a single
+# batched sample (small levels take all ~13 at once; huge levels fall back
+# to per-candidate eval with tile chunking).
+ERROR_EVAL_MAX_ELEMS = 128 * 1024 * 1024
+
 
 def _sample_bilinear_matmul(img, x, y):
     """Exact bilinear-extend sampling as two MXU matmuls instead of
@@ -410,7 +416,22 @@ def _propagation_and_search(
         tr=8, tc=params.window_tile_cols,
     )
     i1_windows = build_windows(I1g, plan)
-    base_sample_fn = partial(sample_windows, i1_windows, plan)
+
+    def _sampler_budget(pl):
+        """(candidate group size, tile_chunk) so one contraction's one-hot
+        operands stay near ERROR_EVAL_MAX_ELEMS."""
+        cost = B * pl.nty * pl.tr * pl.ntx * pl.tc * (pl.bw + pl.bh)
+        group = max(1, ERROR_EVAL_MAX_ELEMS // max(cost, 1))
+        chunk = 0
+        if cost > ERROR_EVAL_MAX_ELEMS:
+            T = pl.nty * pl.ntx
+            chunk = max(1, int(T * ERROR_EVAL_MAX_ELEMS / cost))
+        return group, chunk
+
+    cand_group, tile_chunk = _sampler_budget(plan)
+    base_sample_fn = partial(
+        sample_windows, i1_windows, plan, tile_chunk=tile_chunk
+    )
 
     # Level rebasing (residual sampling): warp the I1 gradients ONCE by
     # the level's incoming flow — smooth and stable (it just passed the
@@ -444,11 +465,12 @@ def _propagation_and_search(
             tr=8, tc=params.window_tile_cols,
         )
         winJ = build_windows(J, plan_r)
+        cand_group, tile_chunk_r = _sampler_budget(plan_r)
 
         def sample_fn(mx, my):
             qx = jnp.clip(mx - f0x, 0.0, W - 2.0)
             qy = jnp.clip(my - f0y, 0.0, H - 2.0)
-            return sample_windows(winJ, plan_r, qx, qy)
+            return sample_windows(winJ, plan_r, qx, qy, tile_chunk=tile_chunk_r)
     else:
         sample_fn = base_sample_fn
 
@@ -481,15 +503,21 @@ def _propagation_and_search(
                     )
                     candidates.append(flow + delta)
             cand = jnp.stack(candidates, axis=0)  # (K, B, 2, H, W)
-            # rank candidates with the exact banded sampler (lax.map keeps
-            # the per-candidate one-hot temporaries bounded; the loop body
-            # is one big einsum pair, so iteration overhead is negligible)
-            errs = jax.lax.map(
-                lambda f: _error_field(f, ctx, params), cand
+            # rank ALL candidates through as few contractions as the memory
+            # budget allows: the window sampler folds the candidate dim into
+            # the matmul's row axis against SHARED windows, so the ~13
+            # sequential per-candidate error fields become 1-2 big MXU ops
+            # (the flow inner loop is latency-bound at pyramid-level sizes)
+            K = cand.shape[0]
+            parts = [
+                _error_field(cand[i : i + cand_group], ctx, params)
+                for i in range(0, K, cand_group)
+            ]
+            errs = (
+                jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
             )
             best = jnp.argmin(errs, axis=0)  # (B, H, W)
             # one-hot select instead of take_along_axis (scalar-loop gather)
-            K = cand.shape[0]
             onehot = (
                 best[None, :, None, :, :]
                 == jnp.arange(K, dtype=best.dtype)[:, None, None, None, None]
@@ -497,11 +525,20 @@ def _propagation_and_search(
             flow_prop = jnp.sum(jnp.where(onehot, cand, 0.0), axis=0)
             curr_err = jnp.min(errs, axis=0)
 
-            # numeric-gradient descent step (PixFlow.h:195-217)
+            # numeric-gradient descent step (PixFlow.h:195-217); both axis
+            # probes ride one batched sample when the budget allows
             ex = jnp.zeros_like(flow_prop).at[..., 0, :, :].add(GRAD_EPSILON)
             ey = jnp.zeros_like(flow_prop).at[..., 1, :, :].add(GRAD_EPSILON)
-            err_x = _error_field(flow_prop + ex, ctx, params)
-            err_y = _error_field(flow_prop + ey, ctx, params)
+            if cand_group >= 2:
+                e2 = _error_field(
+                    jnp.stack([flow_prop + ex, flow_prop + ey], axis=0),
+                    ctx,
+                    params,
+                )
+                err_x, err_y = e2[0], e2[1]
+            else:
+                err_x = _error_field(flow_prop + ex, ctx, params)
+                err_y = _error_field(flow_prop + ey, ctx, params)
             gflow = (
                 jnp.stack([err_x - curr_err, err_y - curr_err], axis=-3)
                 / GRAD_EPSILON

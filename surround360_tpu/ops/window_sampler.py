@@ -228,12 +228,41 @@ def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
     bilinear/bicubic wherever |x - column|, |y - row| fit the plan halos;
     beyond them taps fall outside the window and read as weight 0.
 
+    Coords may carry EXTRA leading dims beyond the windows' lead dims
+    (e.g. K flow candidates sampling one (B, C, H, W) image: coords
+    (K, B, Ho, Wo) against windows built with lead (B,)). The extra dims
+    are folded into the per-tile pixel axis, so all K candidates ride ONE
+    contraction against shared windows — the flow inner loop's K ~13
+    sequential error-field samples become a single matmul pair with K x
+    more rows (MXU-friendly; the windows operand is not replicated).
+    Returns (K..., ..., C, Ho, Wo).
+
     tile_chunk > 0 bounds peak memory for large one-shot remaps by
     lax.map-ing over groups of ~tile_chunk tiles (the one-hot and stage-A
     intermediates scale with the number of tiles in flight)."""
     p = plan
-    xt = _tile_coords(x, p)  # (T, ..., Pt)
+    # windows are (T, lead..., C, BH, BW); coords carry lead but not C
+    n_lead_w = windows.ndim - 4
+    extra_shape = x.shape[: x.ndim - 2 - n_lead_w]
+    ne = len(extra_shape)
+    xt = _tile_coords(x, p)  # (T, extra..., lead..., Pt)
     yt = _tile_coords(y, p)
+    if ne:
+        E = int(np.prod(extra_shape))
+        # (T, extra..., lead..., Pt) -> (T, lead..., E * Pt)
+        perm = (
+            (0,)
+            + tuple(range(1 + ne, 1 + ne + n_lead_w))
+            + tuple(range(1, 1 + ne))
+            + (xt.ndim - 1,)
+        )
+        fold = lambda v: v.transpose(perm).reshape(
+            v.shape[:1]
+            + tuple(v.shape[1 + ne + i] for i in range(n_lead_w))
+            + (E * p.tr * p.tc,)
+        )
+        xt = fold(xt)
+        yt = fold(yt)
     tiles = np.arange(p.nty * p.ntx)
     ty = jnp.asarray(tiles // p.ntx, jnp.int32)
     tx = jnp.asarray(tiles % p.ntx, jnp.int32)
@@ -266,6 +295,13 @@ def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
         out = out.reshape((T,) + out.shape[2:])
     else:
         out = contract((ohx, ohy, windows))
+    if ne:
+        # (T, lead..., C, E*Pt) -> (T, E, lead..., C, Pt): E rejoins as a
+        # leading batch dim for the generic untile below
+        E = int(np.prod(extra_shape))
+        out = out.reshape(out.shape[:-1] + (E, p.tr * p.tc))
+        axes = tuple(range(out.ndim))
+        out = out.transpose((0, out.ndim - 2) + axes[1:-2] + (out.ndim - 1,))
     # (T, ..., C, Pt) -> (..., C, Ho, Wo)
     lead = out.shape[1:-1]
     nl = len(lead)
@@ -273,7 +309,10 @@ def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
     perm = tuple(range(2, 2 + nl)) + (0, 2 + nl, 1, 3 + nl)
     out = out.transpose(perm)
     out = out.reshape(lead + (p.nty * p.tr, p.ntx * p.tc))
-    return out[..., : p.Ho, : p.Wo]
+    out = out[..., : p.Ho, : p.Wo]
+    if ne:
+        out = out.reshape(extra_shape + out.shape[1:])
+    return out
 
 
 def sample_displaced(

@@ -97,6 +97,31 @@ def test_windows_reused_across_fields():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("tile_chunk", [0, 4])
+def test_candidate_batched_sampling(tile_chunk):
+    """Coords with extra leading dims (K candidates against shared windows)
+    must equal K separate sample_windows calls — the flow inner loop's
+    batched error-field ranking relies on this."""
+    rng = np.random.default_rng(7)
+    B, C, H, W, K = 3, 2, 48, 80, 5
+    img = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    plan = plan_windows((H, W), (H, W), 6, 6, "bilinear", "clamp", 8, 32)
+    win = build_windows(img, plan)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    dx = np.stack([_smooth_field(rng, (B, H, W), 5.0) for _ in range(K)])
+    dy = np.stack([_smooth_field(rng, (B, H, W), 5.0) for _ in range(K)])
+    x = jnp.clip(gx[None, None] + dx, 0.0, W - 2.0)
+    y = jnp.clip(gy[None, None] + dy, 0.0, H - 2.0)
+
+    batched = sample_windows(win, plan, x, y, tile_chunk=tile_chunk)
+    assert batched.shape == (K, B, C, H, W)
+    for k in range(K):
+        single = sample_windows(win, plan, x[k], y[k])
+        np.testing.assert_allclose(
+            np.asarray(batched[k]), np.asarray(single), atol=2e-5
+        )
+
+
 def test_single_tile_fallback():
     """Tiny images degrade to one full window and stay exact."""
     rng = np.random.default_rng(5)
