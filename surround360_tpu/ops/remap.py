@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["remap", "remap_bilinear", "remap_bicubic", "remap_static_banded"]
+__all__ = [
+    "remap",
+    "remap_bilinear",
+    "remap_bicubic",
+    "remap_static_banded",
+    "remap_static_banded_multi",
+]
 
 
 def _gather2d(img, iy, ix, border):
@@ -118,9 +124,9 @@ _REMAP_MATMUL_CHUNK_ELEMS = 48 * 1024 * 1024
 
 
 def _onehot_weights_1d(taps_weights, n, mode):
-    """Interpolation matrix (P, n): sum over taps of (grid == idx) * w.
-    mode: "constant" (out-of-range taps get zero weight), "wrap", or
-    "clamp" (edge replication)."""
+    """Interpolation matrix (..., P, n): sum over taps of (grid == idx) * w,
+    for idx/w of any leading shape (..., P). mode: "constant" (out-of-range
+    taps get zero weight), "wrap", or "clamp" (edge replication)."""
     grid = jnp.arange(n, dtype=jnp.int32)
     out = None
     for idx, w in taps_weights:
@@ -128,7 +134,7 @@ def _onehot_weights_1d(taps_weights, n, mode):
             idx = jnp.mod(idx, n)
         elif mode == "clamp":
             idx = jnp.clip(idx, 0, n - 1)
-        hit = (grid[None, :] == idx[:, None]).astype(jnp.float32) * w[:, None]
+        hit = (grid == idx[..., None]).astype(jnp.float32) * w[..., None]
         out = hit if out is None else out + hit
     return out
 
@@ -194,27 +200,37 @@ def _static_axis_bounds(vals, n, pad_taps):
     return lo, hi
 
 
-def remap_static_banded(
-    img,
+def remap_static_banded_multi(
+    imgs,
     coords_np: "np.ndarray",
     interpolation: str = "bicubic",
     border: str = "constant",
     chunk_rows: int = 16,
     tile_cols: int = 64,
 ):
-    """Matmul remap for STATIC warps, banded in BOTH axes: the warp is
-    known on host, so each chunk of output rows only needs the band of
-    source rows it actually samples, and within a chunk each tile of
-    output columns only needs its band of source columns. Stage A shrinks
-    from (Pc x Hsrc x Wsrc) contractions to (Pt x Hband x Wband) — the
-    exact per-tile extents, no halo guessing. Lens warps are smooth, so
-    this typically cuts the dense one-hot matmul work 10-40x.
+    """Matmul remap of N images through N STATIC warps, banded in BOTH
+    axes: the warps are known on host, so each chunk of output rows only
+    needs the band of source rows it actually samples, and within a chunk
+    each tile of output columns only needs its band of source columns.
+    Stage A shrinks from (Pc x Hsrc x Wsrc) contractions to
+    (Pt x Hband x Wband) — exact per-tile extents, no halo guessing. Lens
+    warps are smooth, so this typically cuts the dense one-hot matmul work
+    10-40x.
 
-    img: (C, H, W) or (B, C, H, W) sharing ONE warp; coords_np: host numpy
-    (2, Ho, Wo). Returns (..., C, Ho, Wo)."""
+    Bands/windows are UNIONED across the N warps so all N remaps ride one
+    einsum pair per row-chunk and the one-hot construction is batched
+    rather than unrolled per tile — a rig's side cameras share geometry up
+    to calibration deltas, so the union costs a few pixels of band width
+    while cutting the emitted HLO ~an order of magnitude (whole-frame
+    programs at 3k+ presets otherwise OOM the XLA compiler).
+
+    imgs: (N, ..., C, H, W) — extra dims between N and C are batch dims
+    sharing warp N; coords_np: host numpy (N, 2, Ho, Wo).
+    Returns (N, ..., C, Ho, Wo)."""
     coords_np = np.asarray(coords_np)
-    _, Ho, Wo = coords_np.shape
-    H, W = img.shape[-2:]
+    N, _, Ho, Wo = coords_np.shape
+    H, W = imgs.shape[-2:]
+    assert imgs.shape[0] == N, (imgs.shape, coords_np.shape)
     n_chunks = -(-Ho // chunk_rows)
     pad_taps = 3 if interpolation == "bicubic" else 1
     # "wrap" x coords can sample across the seam; banding x would need
@@ -228,6 +244,12 @@ def remap_static_banded(
         w0, w1, w2, w3 = _cubic_weights(t)
         return [(i0 - 1, w0), (i0, w1), (i0 + 1, w2), (i0 + 2, w3)]
 
+    def onehot(vals, n, mode):
+        v0 = jnp.floor(vals)
+        return _onehot_weights_1d(
+            _pairs(taps_1d(vals - v0, v0.astype(jnp.int32))), n, mode
+        )
+
     x_mode = "wrap" if border == "wrap" else "constant"
     y_mode = "clamp" if border == "wrap" else "constant"
 
@@ -235,91 +257,93 @@ def remap_static_banded(
     for c in range(n_chunks):
         rows = slice(c * chunk_rows, min((c + 1) * chunk_rows, Ho))
         nrows = rows.stop - rows.start
-        y_lo, y_hi = _static_axis_bounds(
-            coords_np[1, rows], H, pad_taps
-        )
+        y_lo, y_hi = _static_axis_bounds(coords_np[:, 1, rows], H, pad_taps)
         hb = y_hi - y_lo
-        band = img[..., y_lo:y_hi, :]
-        co = jnp.asarray(coords_np[:, rows], jnp.float32)
+        band = imgs[..., y_lo:y_hi, :]  # (N, ..., C, hb, W)
+        co = coords_np[:, :, rows]  # (N, 2, nrows, Wo)
 
         if not band_x:
-            x = co[0].reshape(-1)
-            y = co[1].reshape(-1) - y_lo
-            ohx = _onehot_weights_1d(
-                _pairs(taps_1d(x - jnp.floor(x), jnp.floor(x).astype(jnp.int32))),
-                W, x_mode,
-            )
-            ohy = _onehot_weights_1d(
-                _pairs(taps_1d(y - jnp.floor(y), jnp.floor(y).astype(jnp.int32))),
-                hb, y_mode,
-            )
+            xs = jnp.asarray(co[:, 0].reshape(N, -1), jnp.float32)
+            ys = jnp.asarray(co[:, 1].reshape(N, -1) - y_lo, jnp.float32)
+            ohx = onehot(xs, W, x_mode)  # (N, P, W)
+            ohy = onehot(ys, hb, y_mode)
             tmp = jnp.einsum(
-                "pw,...chw->...cph", ohx, band, precision="float32"
+                "npw,n...chw->n...cph", ohx, band, precision="float32"
             )
             out = jnp.einsum(
-                "ph,...cph->...cp", ohy, tmp, precision="float32"
+                "nph,n...cph->n...cp", ohy, tmp, precision="float32"
             )
-            outs.append(out.reshape(img.shape[:-2] + (nrows, Wo)))
+            outs.append(out.reshape(imgs.shape[:-2] + (nrows, Wo)))
             continue
 
-        # host: per-tile x bounds, uniform width so tiles stack into one
-        # einsum per chunk
+        # host: per-tile x bounds unioned over warps, uniform width so all
+        # (tile, warp) pairs stack into one einsum per chunk
         pad_c = ntx * tile_cols - Wo
         cxs = np.pad(
-            coords_np[0, rows], [(0, 0), (0, pad_c)], mode="edge"
-        ).reshape(nrows, ntx, tile_cols)
+            co[:, 0], [(0, 0), (0, 0), (0, pad_c)], mode="edge"
+        ).reshape(N, nrows, ntx, tile_cols)
+        cys = np.pad(
+            co[:, 1], [(0, 0), (0, 0), (0, pad_c)], mode="edge"
+        ).reshape(N, nrows, ntx, tile_cols)
         x_los = []
         wb = 1
         for t in range(ntx):
-            lo, hi = _static_axis_bounds(cxs[:, t], W, pad_taps)
+            lo, hi = _static_axis_bounds(cxs[:, :, t], W, pad_taps)
             x_los.append(lo)
             wb = max(wb, hi - lo)
         x_los = [min(lo, W - wb) for lo in x_los]
 
-        cys = np.pad(
-            coords_np[1, rows], [(0, 0), (0, pad_c)], mode="edge"
-        ).reshape(nrows, ntx, tile_cols)
         xs = jnp.asarray(
-            cxs.transpose(1, 0, 2).reshape(ntx, -1)
-            - np.asarray(x_los, np.float32)[:, None],
+            cxs.transpose(2, 0, 1, 3).reshape(ntx, N, -1)
+            - np.asarray(x_los, np.float32)[:, None, None],
             jnp.float32,
         )
         ys = jnp.asarray(
-            cys.transpose(1, 0, 2).reshape(ntx, -1) - y_lo, jnp.float32
+            cys.transpose(2, 0, 1, 3).reshape(ntx, N, -1) - y_lo,
+            jnp.float32,
         )
         # absolute-index validity via shifted local windows: a tap is valid
         # iff its absolute index is in range AND lands inside the window;
         # both hold exactly because the host bounds cover all finite taps
         windows = jnp.stack(
             [band[..., lo : lo + wb] for lo in x_los]
-        )  # (ntx, ..., C, hb, wb)
-        x0 = jnp.floor(xs)
-        y0 = jnp.floor(ys)
-        ohx = jnp.stack([
-            _onehot_weights_1d(
-                _pairs(taps_1d((xs - x0)[t], x0[t].astype(jnp.int32))),
-                wb, "constant",
-            )
-            for t in range(ntx)
-        ])  # (ntx, P, wb)
-        ohy = jnp.stack([
-            _onehot_weights_1d(
-                _pairs(taps_1d((ys - y0)[t], y0[t].astype(jnp.int32))),
-                hb, y_mode if y_mode == "clamp" else "constant",
-            )
-            for t in range(ntx)
-        ])
+        )  # (ntx, N, ..., C, hb, wb)
+        ohx = onehot(xs, wb, "constant")  # (ntx, N, P, wb)
+        ohy = onehot(ys, hb, y_mode if y_mode == "clamp" else "constant")
         tmp = jnp.einsum(
-            "xpw,x...chw->x...cph", ohx, windows, precision="float32"
+            "xnpw,xn...chw->xn...cph", ohx, windows, precision="float32"
         )
         out = jnp.einsum(
-            "xph,x...cph->x...cp", ohy, tmp, precision="float32"
-        )  # (ntx, ..., C, P)
-        out = out.reshape((ntx,) + img.shape[:-2] + (nrows, tile_cols))
-        out = jnp.moveaxis(out, 0, -2)  # (..., nrows, ntx, tile_cols)
-        out = out.reshape(img.shape[:-2] + (nrows, ntx * tile_cols))
+            "xnph,xn...cph->xn...cp", ohy, tmp, precision="float32"
+        )  # (ntx, N, ..., C, P)
+        out = out.reshape((ntx,) + imgs.shape[:-2] + (nrows, tile_cols))
+        out = jnp.moveaxis(out, 0, -2)  # (N, ..., nrows, ntx, tile_cols)
+        out = out.reshape(imgs.shape[:-2] + (nrows, ntx * tile_cols))
         outs.append(out[..., :Wo])
     return jnp.concatenate(outs, axis=-2)
+
+
+def remap_static_banded(
+    img,
+    coords_np: "np.ndarray",
+    interpolation: str = "bicubic",
+    border: str = "constant",
+    chunk_rows: int = 16,
+    tile_cols: int = 64,
+):
+    """Single-warp convenience over remap_static_banded_multi.
+
+    img: (C, H, W) or (B, C, H, W) sharing ONE warp; coords_np: host numpy
+    (2, Ho, Wo). Returns (..., C, Ho, Wo)."""
+    out = remap_static_banded_multi(
+        img[None],
+        np.asarray(coords_np)[None],
+        interpolation,
+        border,
+        chunk_rows,
+        tile_cols,
+    )
+    return out[0]
 
 
 @partial(jax.jit, static_argnames=("interpolation", "border", "method"))

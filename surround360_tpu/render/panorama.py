@@ -251,6 +251,18 @@ def build_render_context(rig: Rig, config: RenderConfig) -> RenderContext:
 # ---------------------------------------------------------------------------
 
 
+def _banded_chunk_rows(h_out: int) -> int:
+    """Row-chunk size for static banded remaps: measured-fast 16 at small
+    outputs, growing with resolution to bound the emitted chunk count
+    (~30) so preset-scale frames stay compilable."""
+    return max(16, 8 * (-(-h_out // (30 * 8))))
+
+
+def _banded_tile_cols(w_out: int) -> int:
+    """Column-tile size for static banded remaps, bounding tiles to ~30."""
+    return max(64, 32 * (-(-w_out // (30 * 32))))
+
+
 def _project_side_cameras(ctx: RenderContext, side_images):
     """Feather source rows then remap each side camera into its spherical
     strip (projectSideToSpherical, TestRenderStereoPanorama.cpp:99-135)."""
@@ -265,16 +277,18 @@ def _project_side_cameras(ctx: RenderContext, side_images):
         imgs = jnp.concatenate([imgs[:, :3], alpha[:, None]], axis=1)
     if jax.default_backend() != "cpu":
         # static warps: banded matmul remap (source-row bands computed on
-        # host) avoids the dense one-hot matmul's full-height stage A
-        from ..ops.remap import remap_static_banded
+        # host) avoids the dense one-hot matmul's full-height stage A; all
+        # N cameras ride one union-banded call (per-camera unrolling blew
+        # up the HLO at preset-scale outputs)
+        from ..ops.remap import remap_static_banded_multi
 
-        return jnp.stack(
-            [
-                remap_static_banded(
-                    imgs[i], ctx.side_warps[i], "bicubic", "constant"
-                )
-                for i in range(imgs.shape[0])
-            ]
+        return remap_static_banded_multi(
+            imgs,
+            ctx.side_warps,
+            "bicubic",
+            "constant",
+            chunk_rows=_banded_chunk_rows(ctx.strip_h),
+            tile_cols=_banded_tile_cols(ctx.strip_w),
         )
     coords = jnp.asarray(ctx.side_warps)
     return remap(imgs, coords, interpolation="bicubic", border="constant")
@@ -341,7 +355,14 @@ def _prepare_fisheye_strip(ctx, warp, strip_h, image, feather_size, alpha_min=Fa
     if jax.default_backend() != "cpu":
         from ..ops.remap import remap_static_banded
 
-        spherical = remap_static_banded(image, warp, "bicubic", "constant")
+        spherical = remap_static_banded(
+            image,
+            warp,
+            "bicubic",
+            "constant",
+            chunk_rows=_banded_chunk_rows(strip_h),
+            tile_cols=_banded_tile_cols(warp.shape[-1]),
+        )
     else:
         spherical = remap(
             image, jnp.asarray(warp), interpolation="bicubic",

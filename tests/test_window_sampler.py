@@ -212,6 +212,43 @@ class TestStaticBandedRemap:
         )
         self._check(warp, (128, 128))
 
+    def test_multi_warp_union_bands(self):
+        """All 14 side cameras through ONE union-banded call must equal
+        per-camera dense remaps (the production projection path)."""
+        import jax.numpy as jnp
+
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.remap import remap, remap_static_banded_multi
+        from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
+
+        rig = make_ring_rig().rescaled(0.125)
+        sides = rig.side_cameras
+        h_rad = 2.0 * rig_fov(sides, False)
+        v_rad = 2.0 * rig_fov(sides, True)
+        warps = np.stack(
+            [
+                side_cam_spherical_warp(
+                    cam, i, len(sides), (280, 140), h_rad, v_rad
+                )[0]
+                for i, cam in enumerate(sides)
+            ]
+        )
+        rng = np.random.default_rng(10)
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (len(sides), 4, 128, 128)).astype(np.float32)
+        )
+        banded = remap_static_banded_multi(
+            imgs, warps, "bicubic", "constant", chunk_rows=16, tile_cols=32
+        )
+        for i in range(len(sides)):
+            dense = remap(
+                imgs[i], jnp.asarray(warps[i]), interpolation="bicubic",
+                border="constant", method="gather",
+            )
+            np.testing.assert_allclose(
+                np.asarray(banded[i]), np.asarray(dense), atol=3e-5
+            )
+
     def test_batched_image(self):
         from surround360_tpu.geometry.rig import make_ring_rig
         from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
