@@ -42,7 +42,11 @@ import numpy as np
 
 from ..ops.filters import median_filter, median_filter_5x5_separable
 from ..ops.resize import gaussian_blur, resize_bilinear, resize_cubic
-from ..ops.window_sampler import build_windows, plan_windows, sample_windows
+from ..ops.window_sampler import (
+    build_windows,
+    plan_windows_budgeted,
+    sample_windows,
+)
 
 HINT_UNKNOWN = 0
 HINT_LEFT = 1
@@ -202,6 +206,14 @@ MATMUL_SAMPLER_MAX_ELEMS = 96 * 1024 * 1024
 # batched sample (small levels take all ~13 at once; huge levels fall back
 # to per-candidate eval with tile chunking).
 ERROR_EVAL_MAX_ELEMS = 128 * 1024 * 1024
+
+# Window-stack element budget for the flow samplers. Small tiles minimize
+# matmul FLOPs (window area sets the contraction size) and are the
+# measured-fast choice at bench scales, but overlapping windows duplicate
+# the source by (bh*bw)/(tr*tc) — up to ~125x with the tuned tiles — so at
+# preset-scale levels the stack must be re-planned with larger tiles to
+# fit HBM. 256M elems (1 GB f32) keeps every bench-scale plan verbatim.
+WINDOW_STACK_MAX_ELEMS = 256 * 1024 * 1024
 
 
 def _sample_bilinear_matmul(img, x, y):
@@ -411,9 +423,12 @@ def _propagation_and_search(
     # search the way the reference's magnitude regularizers do softly.
     halo_x = max(params.window_min_halo, int(params.window_halo_x_frac * W))
     halo_y = max(params.window_min_halo, int(params.window_halo_y_frac * H))
-    plan = plan_windows(
+    _win_elems_per_px = int(np.prod(I1g.shape[:-2]))
+    plan = plan_windows_budgeted(
         (H, W), (H, W), halo_y, halo_x, "bilinear", "clamp",
         tr=8, tc=params.window_tile_cols,
+        elems_per_px=_win_elems_per_px,
+        max_window_elems=WINDOW_STACK_MAX_ELEMS,
     )
     i1_windows = build_windows(I1g, plan)
 
@@ -460,9 +475,11 @@ def _propagation_and_search(
             jnp.clip(gx + f0x, 0.0, W - 2.0),
             jnp.clip(gy + f0y, 0.0, H - 2.0),
         )  # (B, 2, H, W) = I1g warped by the level basis
-        plan_r = plan_windows(
+        plan_r = plan_windows_budgeted(
             (H, W), (H, W), r_halo, r_halo, "bilinear", "clamp",
             tr=8, tc=params.window_tile_cols,
+            elems_per_px=_win_elems_per_px,
+            max_window_elems=WINDOW_STACK_MAX_ELEMS,
         )
         winJ = build_windows(J, plan_r)
         cand_group, tile_chunk_r = _sampler_budget(plan_r)

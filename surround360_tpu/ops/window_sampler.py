@@ -50,9 +50,11 @@ import numpy as np
 __all__ = [
     "WindowPlan",
     "plan_windows",
+    "plan_windows_budgeted",
     "build_windows",
     "sample_windows",
     "sample_displaced",
+    "sampler_tile_chunk",
 ]
 
 
@@ -112,6 +114,60 @@ def plan_windows(
         H, W, Ho, Wo, tr_, tc_, bh, bw, nty, ntx, pad_y, pad_x,
         interpolation, border,
     )
+
+
+def plan_windows_budgeted(
+    src_hw,
+    out_hw,
+    halo_y: int,
+    halo_x: int,
+    interpolation: str = "bilinear",
+    border: str = "clamp",
+    tr: int = 8,
+    tc: int = 128,
+    elems_per_px: int = 1,
+    max_window_elems: int = 64 * 1024 * 1024,
+) -> WindowPlan:
+    """plan_windows, but grow tiles until the window stack fits a budget.
+
+    Overlapping windows duplicate the source by (bh*bw)/(tr*tc); with
+    tiles much smaller than the halos (the measured-fast choice at bench
+    scales) that factor reaches 50x+, which at preset-scale pole strips
+    materializes multi-GB window stacks (observed 3k HBM OOM). Doubling
+    the tile edge along the worse axis halves its duplication, so the
+    small-scale tuned geometry is kept verbatim whenever it already fits.
+    elems_per_px = product of lead/channel dims sharing the windows."""
+    while True:
+        plan = plan_windows(
+            src_hw, out_hw, halo_y, halo_x, interpolation, border, tr, tc
+        )
+        elems = plan.nty * plan.ntx * plan.bh * plan.bw * elems_per_px
+        if elems <= max_window_elems:
+            return plan
+        dup_y = plan.bh / plan.tr if plan.nty > 1 else 1.0
+        dup_x = plan.bw / plan.tc if plan.ntx > 1 else 1.0
+        if dup_y <= 1.0 + 1e-9 and dup_x <= 1.0 + 1e-9:
+            return plan  # windows already tight; nothing left to merge
+        if dup_y >= dup_x:
+            tr *= 2
+        else:
+            tc *= 2
+
+
+def sampler_tile_chunk(
+    plan: WindowPlan,
+    coord_lead_elems: int = 1,
+    max_elems: int = 128 * 1024 * 1024,
+) -> int:
+    """Tiles per lax.map group so one group's one-hot operands stay near
+    max_elems. coord_lead_elems = product of the coords' lead dims
+    (including folded extra/candidate dims). Returns 0 for 'no chunking
+    needed' (everything fits in one group)."""
+    per_tile = coord_lead_elems * plan.tr * plan.tc * (plan.bw + plan.bh)
+    total = plan.nty * plan.ntx * per_tile
+    if total <= max_elems:
+        return 0
+    return max(1, max_elems // max(per_tile, 1))
 
 
 def build_windows(img, plan: WindowPlan):
@@ -266,16 +322,26 @@ def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
     tiles = np.arange(p.nty * p.ntx)
     ty = jnp.asarray(tiles // p.ntx, jnp.int32)
     tx = jnp.asarray(tiles % p.ntx, jnp.int32)
-    ohx = _onehot_axis(
-        xt, tx, p.W, p.bw, p.tc if p.ntx > 1 else 0, p.pad_x, p
-    )
-    ohy = _onehot_axis(
-        yt, ty, p.H, p.bh, p.tr if p.nty > 1 else 0, p.pad_y, p
-    )
 
-    def contract(oxw):
-        ox, oy, win = oxw
-        # stage A: contract window columns; stage B: contract window rows
+    def onehots(xt_, yt_, tx_, ty_):
+        ohx = _onehot_axis(
+            xt_, tx_, p.W, p.bw, p.tc if p.ntx > 1 else 0, p.pad_x, p
+        )
+        ohy = _onehot_axis(
+            yt_, ty_, p.H, p.bh, p.tr if p.nty > 1 else 0, p.pad_y, p
+        )
+        return ohx, ohy
+
+    def contract(ox, oy, win):
+        # two one-hot matmuls per tile; eliminate the LARGER band axis
+        # first so the stage-A temp carries only the smaller band
+        if p.bh > p.bw:
+            tmp = jnp.einsum(
+                "t...ph,t...chw->t...cpw", oy, win, precision="float32"
+            )
+            return jnp.einsum(
+                "t...pw,t...cpw->t...cp", ox, tmp, precision="float32"
+            )
         tmp = jnp.einsum(
             "t...pw,t...chw->t...cph", ox, win, precision="float32"
         )
@@ -289,12 +355,23 @@ def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
         g = max(d for d in range(1, tile_chunk + 1) if T % d == 0)
         n = T // g
         grp = lambda a: a.reshape((n, g) + a.shape[1:])
+
+        def body(args):
+            xt_, yt_, tx_, ty_, win = args
+            # one-hots are built INSIDE the mapped body: they are the
+            # dominant transient (P x (bw+bh) floats per tile) and
+            # materializing them for all tiles as map operands defeats
+            # the chunking (observed 9 GB remat copies at 3k)
+            ohx, ohy = onehots(xt_, yt_, tx_, ty_)
+            return contract(ohx, ohy, win)
+
         out = jax.lax.map(
-            contract, (grp(ohx), grp(ohy), grp(windows))
+            body, (grp(xt), grp(yt), grp(tx), grp(ty), grp(windows))
         )
         out = out.reshape((T,) + out.shape[2:])
     else:
-        out = contract((ohx, ohy, windows))
+        ohx, ohy = onehots(xt, yt, tx, ty)
+        out = contract(ohx, ohy, windows)
     if ne:
         # (T, lead..., C, E*Pt) -> (T, E, lead..., C, Pt): E rejoins as a
         # leading batch dim for the generic untile below
@@ -326,14 +403,33 @@ def sample_displaced(
     tr: int = 8,
     tc: int = 128,
     tile_chunk: int = 0,
+    max_window_elems: int = 0,
+    max_onehot_elems: int = 128 * 1024 * 1024,
 ):
     """One-shot convenience: build windows + sample. img (..., C, H, W);
     x, y (..., Ho, Wo) absolute source coords with |x - col| <= halo_x,
     |y - row| <= halo_y (output pixel (row, col) maps to source (row, col)
-    + displacement). Returns (..., C, Ho, Wo)."""
-    plan = plan_windows(
-        img.shape[-2:], x.shape[-2:], halo_y, halo_x, interpolation,
-        border, tr, tc,
-    )
+    + displacement). Returns (..., C, Ho, Wo).
+
+    max_window_elems > 0 switches to the budgeted plan (tiles grown until
+    the window stack fits) and derives tile_chunk from max_onehot_elems —
+    the memory-safe mode for preset-scale shapes."""
+    if max_window_elems:
+        plan = plan_windows_budgeted(
+            img.shape[-2:], x.shape[-2:], halo_y, halo_x, interpolation,
+            border, tr, tc,
+            elems_per_px=int(np.prod(img.shape[:-2], dtype=np.int64)),
+            max_window_elems=max_window_elems,
+        )
+        tile_chunk = sampler_tile_chunk(
+            plan,
+            int(np.prod(x.shape[:-2], dtype=np.int64)),
+            max_onehot_elems,
+        )
+    else:
+        plan = plan_windows(
+            img.shape[-2:], x.shape[-2:], halo_y, halo_x, interpolation,
+            border, tr, tc,
+        )
     win = build_windows(img, plan)
     return sample_windows(win, plan, x, y, tile_chunk=tile_chunk)

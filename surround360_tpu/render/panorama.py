@@ -472,6 +472,9 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
         tr=16,
         tc=128,
         tile_chunk=8,
+        # preset-scale strips: grow tiles + chunk so the window stack and
+        # one-hot transients stay bounded (3k OOM'd at 34G without this)
+        max_window_elems=64 * 1024 * 1024,
     )
 
     # fold the right extension back onto the left edge

@@ -127,6 +127,8 @@ def render_lazy_novel_view(
             border="constant",
             tr=8,
             tc=128,
+            # bound window/one-hot memory at preset-scale chunk widths
+            max_window_elems=64 * 1024 * 1024,
         )
     else:
         coords = jnp.stack([warp_comp_x, warp_comp_y], axis=1)

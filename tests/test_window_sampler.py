@@ -122,6 +122,48 @@ def test_candidate_batched_sampling(tile_chunk):
         )
 
 
+def test_budgeted_plan_and_auto_chunk():
+    """plan_windows_budgeted must (a) keep the requested tiles when they
+    fit, (b) grow tiles until the window stack fits a tight budget, and
+    sampling through a budgeted plan + derived tile_chunk must stay exact
+    (the preset-scale HBM-OOM path)."""
+    from surround360_tpu.flow.pixflow import _sample_bilinear_extend
+    from surround360_tpu.ops.window_sampler import (
+        plan_windows_budgeted,
+        sampler_tile_chunk,
+    )
+
+    rng = np.random.default_rng(11)
+    B, C, H, W = 2, 2, 96, 128
+    img = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+
+    roomy = plan_windows_budgeted(
+        (H, W), (H, W), 10, 10, "bilinear", "clamp", 8, 32,
+        elems_per_px=B * C, max_window_elems=1 << 30,
+    )
+    assert (roomy.tr, roomy.tc) == (8, 32)
+
+    tight_budget = B * C * H * W * 4  # allows only ~4x duplication
+    tight = plan_windows_budgeted(
+        (H, W), (H, W), 10, 10, "bilinear", "clamp", 8, 32,
+        elems_per_px=B * C, max_window_elems=tight_budget,
+    )
+    assert tight.nty * tight.ntx * tight.bh * tight.bw * B * C <= tight_budget
+    assert tight.tr > 8 or tight.tc > 32
+
+    win = build_windows(img, tight)
+    chunk = sampler_tile_chunk(tight, B, max_elems=tight.tr * tight.tc * B * 2 * (tight.bw + tight.bh))
+    assert chunk >= 1
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    dx = _smooth_field(rng, (B, H, W), 6.0)
+    dy = _smooth_field(rng, (B, H, W), 6.0)
+    x = jnp.clip(gx[None] + dx, 0.0, W - 2.0)
+    y = jnp.clip(gy[None] + dy, 0.0, H - 2.0)
+    out = sample_windows(win, tight, x, y, tile_chunk=chunk)
+    ref = _sample_bilinear_extend(img, x[:, None], y[:, None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_single_tile_fallback():
     """Tiny images degrade to one full window and stay exact."""
     rng = np.random.default_rng(5)
