@@ -78,8 +78,8 @@ def main():
     cfg = RenderConfig(
         eqr_width=eqr_w,
         eqr_height=eqr_h,
-        side_flow_alg="pixflow_tpu",
-        polar_flow_alg="pixflow_tpu",
+        side_flow_alg=os.environ.get("S360_BENCH_FLOW_ALG", "pixflow_tpu"),
+        polar_flow_alg=os.environ.get("S360_BENCH_FLOW_ALG", "pixflow_tpu"),
         enable_top=full_sphere,
         enable_bottom=full_sphere,
     )

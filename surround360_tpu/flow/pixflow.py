@@ -111,6 +111,11 @@ class FlowParams(NamedTuple):
     # sample error fields at small residual displacements (see
     # _propagation_and_search); ~3-4x cheaper per field
     residual_rebase: bool = False
+    # MXU precision for the error-field sampling contractions ONLY
+    # (candidate ranking + descent gradients): "float32" = exact
+    # multi-pass; "default" = single-pass bf16 MXU. Output warps always
+    # sample at float32 regardless.
+    error_sampler_precision: str = "float32"
 
 
 def make_flow_params(name: str) -> FlowParams:
@@ -138,6 +143,13 @@ def make_flow_params(name: str) -> FlowParams:
         # ~15% interpolation-RMSE cost where it engages (still well under
         # the no-flow baseline; see BASELINE.md)
         return make_flow_params("pixflow_tpu")._replace(residual_rebase=True)
+    if name == "pixflow_tpu_bf16":
+        # pixflow_tpu with single-pass bf16 MXU error-field sampling:
+        # candidate ranking and descent gradients at 8-bit mantissa,
+        # output warps still exact f32 (quality gated by the flow table)
+        return make_flow_params("pixflow_tpu")._replace(
+            error_sampler_precision="default"
+        )
     raise ValueError(f"unrecognized flow algorithm name: {name}")
 
 
@@ -445,7 +457,11 @@ def _propagation_and_search(
 
     cand_group, tile_chunk = _sampler_budget(plan)
     base_sample_fn = partial(
-        sample_windows, i1_windows, plan, tile_chunk=tile_chunk
+        sample_windows,
+        i1_windows,
+        plan,
+        tile_chunk=tile_chunk,
+        precision=params.error_sampler_precision,
     )
 
     # Level rebasing (residual sampling): warp the I1 gradients ONCE by
@@ -487,7 +503,10 @@ def _propagation_and_search(
         def sample_fn(mx, my):
             qx = jnp.clip(mx - f0x, 0.0, W - 2.0)
             qy = jnp.clip(my - f0y, 0.0, H - 2.0)
-            return sample_windows(winJ, plan_r, qx, qy, tile_chunk=tile_chunk_r)
+            return sample_windows(
+                winJ, plan_r, qx, qy, tile_chunk=tile_chunk_r,
+                precision=params.error_sampler_precision,
+            )
     else:
         sample_fn = base_sample_fn
 

@@ -183,6 +183,11 @@ def build_windows(img, plan: WindowPlan):
     because one-hot weights are validated against absolute source
     indices."""
     p = plan
+    if p.nty == 1 and p.ntx == 1:
+        # single window spanning the whole source (pad offsets are 0 by
+        # construction); the phase padding below would widen it past
+        # plan.bw when the output is smaller than the source
+        return img[None]
     lead = img.shape[:-2]
     nl = len(lead)
     ky = -(-p.bh // p.tr)
@@ -194,8 +199,6 @@ def build_windows(img, plan: WindowPlan):
         img,
         [(0, 0)] * nl + [(p.pad_y, pad_y_hi), (p.pad_x, pad_x_hi)],
     )
-    if p.nty == 1 and p.ntx == 1:
-        return padded[None]
     Wp = padded.shape[-1]
     ys = [
         padded[..., ph * p.tr : (ph + p.nty) * p.tr, :].reshape(
@@ -276,7 +279,14 @@ def _onehot_axis(coord_t, tile_idx, n_src, b_axis, tile_stride, pad, plan):
     return out
 
 
-def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
+def sample_windows(
+    windows,
+    plan: WindowPlan,
+    x,
+    y,
+    tile_chunk: int = 0,
+    precision: str = "float32",
+):
     """Sample prebuilt windows at absolute coords x, y (..., Ho, Wo).
 
     windows: (T, ..., C, BH, BW) from build_windows (leading batch dims of
@@ -334,19 +344,22 @@ def sample_windows(windows, plan: WindowPlan, x, y, tile_chunk: int = 0):
 
     def contract(ox, oy, win):
         # two one-hot matmuls per tile; eliminate the LARGER band axis
-        # first so the stage-A temp carries only the smaller band
+        # first so the stage-A temp carries only the smaller band.
+        # precision "float32" = exact (multi-pass f32 emulation on the
+        # bf16 MXU); "default" = single-pass bf16 MXU (callers ranking
+        # flow candidates tolerate the 8-bit mantissa; warps stay exact)
         if p.bh > p.bw:
             tmp = jnp.einsum(
-                "t...ph,t...chw->t...cpw", oy, win, precision="float32"
+                "t...ph,t...chw->t...cpw", oy, win, precision=precision
             )
             return jnp.einsum(
-                "t...pw,t...cpw->t...cp", ox, tmp, precision="float32"
+                "t...pw,t...cpw->t...cp", ox, tmp, precision=precision
             )
         tmp = jnp.einsum(
-            "t...pw,t...chw->t...cph", ox, win, precision="float32"
+            "t...pw,t...chw->t...cph", ox, win, precision=precision
         )
         return jnp.einsum(
-            "t...ph,t...cph->t...cp", oy, tmp, precision="float32"
+            "t...ph,t...cph->t...cp", oy, tmp, precision=precision
         )
 
     T = p.nty * p.ntx

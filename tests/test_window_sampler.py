@@ -164,6 +164,33 @@ def test_budgeted_plan_and_auto_chunk():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_single_tile_narrow_output():
+    """Output narrower than the source with tiles grown past the output
+    (budgeted fallback): the single window must be exactly the source, not
+    the phase-padded image (6k novel-view chunk regression)."""
+    from surround360_tpu.flow.pixflow import _sample_bilinear_extend
+    from surround360_tpu.ops.window_sampler import plan_windows_budgeted
+
+    rng = np.random.default_rng(13)
+    B, C, H, W, Wo = 2, 3, 40, 53, 45
+    img = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    plan = plan_windows_budgeted(
+        (H, W), (H, Wo), 10, 10, "bilinear", "clamp", 8, 16,
+        elems_per_px=B * C, max_window_elems=B * C * H * W,
+    )
+    assert (plan.nty, plan.ntx) == (1, 1)
+    win = build_windows(img, plan)
+    assert win.shape == (1, B, C, H, W)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(Wo), indexing="ij")
+    dx = _smooth_field(rng, (B, H, Wo), 5.0)
+    dy = _smooth_field(rng, (B, H, Wo), 5.0)
+    x = jnp.clip(gx[None] + dx, 0.0, W - 2.0)
+    y = jnp.clip(gy[None] + dy, 0.0, H - 2.0)
+    out = sample_windows(win, plan, x, y)
+    ref = _sample_bilinear_extend(img, x[:, None], y[:, None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_single_tile_fallback():
     """Tiny images degrade to one full window and stay exact."""
     rng = np.random.default_rng(5)
