@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .resize import CONV_MIN_AXIS, conv_separable_1d
+
 __all__ = [
     "iir_lowpass_2d",
     "sharpen_iir",
@@ -73,6 +75,16 @@ def iir_lowpass_2d(
     alpha = float(amount) ** 0.25
     H, W = img.shape[-2:]
     img = jnp.asarray(img, jnp.float32)
+    if max(H, W) >= CONV_MIN_AXIS and alpha > 0:
+        # large axes: the (n, n) band matrix is an O(n^2/4)-byte program
+        # constant and O(n^2) FLOPs; the truncated two-sided kernel as a
+        # depthwise conv is O(K n) with no constant (identical values)
+        radius = int(min(max(H, W), np.ceil(np.log(1e-7) / np.log(alpha))))
+        xs = np.arange(-radius, radius + 1)
+        k = alpha ** np.abs(xs)
+        k = k / k.sum()
+        out = conv_separable_1d(img, k, v_boundary, -2)
+        return conv_separable_1d(out, k, h_boundary, -1)
     rm = jnp.asarray(_iir_band_matrix(H, alpha, v_boundary))
     cm = jnp.asarray(_iir_band_matrix(W, alpha, h_boundary))
     out = jnp.einsum("oh,...hw->...ow", rm, img, precision="float32")

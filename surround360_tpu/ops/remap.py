@@ -207,6 +207,7 @@ def remap_static_banded_multi(
     border: str = "constant",
     chunk_rows: int = 16,
     tile_cols: int = 64,
+    coords_dev=None,
 ):
     """Matmul remap of N images through N STATIC warps, banded in BOTH
     axes: the warps are known on host, so each chunk of output rows only
@@ -226,7 +227,13 @@ def remap_static_banded_multi(
 
     imgs: (N, ..., C, H, W) — extra dims between N and C are batch dims
     sharing warp N; coords_np: host numpy (N, 2, Ho, Wo).
-    Returns (N, ..., C, Ho, Wo)."""
+    Returns (N, ..., C, Ho, Wo).
+
+    coords_dev, when given, is a traced/device array with the SAME values
+    as coords_np: the host copy drives band planning while the device copy
+    feeds the one-hot weights, so the warp table rides the jit boundary as
+    an argument instead of hundreds of MB of HLO constant literals at
+    preset scale (the compile tunnel rejects >~250 MB programs)."""
     coords_np = np.asarray(coords_np)
     N, _, Ho, Wo = coords_np.shape
     H, W = imgs.shape[-2:]
@@ -262,9 +269,15 @@ def remap_static_banded_multi(
         band = imgs[..., y_lo:y_hi, :]  # (N, ..., C, hb, W)
         co = coords_np[:, :, rows]  # (N, 2, nrows, Wo)
 
+        cd = None if coords_dev is None else coords_dev[:, :, rows]
+
         if not band_x:
-            xs = jnp.asarray(co[:, 0].reshape(N, -1), jnp.float32)
-            ys = jnp.asarray(co[:, 1].reshape(N, -1) - y_lo, jnp.float32)
+            if cd is None:
+                xs = jnp.asarray(co[:, 0].reshape(N, -1), jnp.float32)
+                ys = jnp.asarray(co[:, 1].reshape(N, -1) - y_lo, jnp.float32)
+            else:
+                xs = cd[:, 0].reshape(N, -1)
+                ys = cd[:, 1].reshape(N, -1) - float(y_lo)
             ohx = onehot(xs, W, x_mode)  # (N, P, W)
             ohy = onehot(ys, hb, y_mode)
             tmp = jnp.einsum(
@@ -293,15 +306,26 @@ def remap_static_banded_multi(
             wb = max(wb, hi - lo)
         x_los = [min(lo, W - wb) for lo in x_los]
 
-        xs = jnp.asarray(
-            cxs.transpose(2, 0, 1, 3).reshape(ntx, N, -1)
-            - np.asarray(x_los, np.float32)[:, None, None],
-            jnp.float32,
-        )
-        ys = jnp.asarray(
-            cys.transpose(2, 0, 1, 3).reshape(ntx, N, -1) - y_lo,
-            jnp.float32,
-        )
+        if cd is None:
+            xs = jnp.asarray(
+                cxs.transpose(2, 0, 1, 3).reshape(ntx, N, -1)
+                - np.asarray(x_los, np.float32)[:, None, None],
+                jnp.float32,
+            )
+            ys = jnp.asarray(
+                cys.transpose(2, 0, 1, 3).reshape(ntx, N, -1) - y_lo,
+                jnp.float32,
+            )
+        else:
+            cdp = jnp.pad(
+                cd, [(0, 0), (0, 0), (0, 0), (0, pad_c)], mode="edge"
+            ).reshape(N, 2, nrows, ntx, tile_cols)
+            xs = cdp[:, 0].transpose(2, 0, 1, 3).reshape(ntx, N, -1) - (
+                jnp.asarray(np.asarray(x_los, np.float32))[:, None, None]
+            )
+            ys = cdp[:, 1].transpose(2, 0, 1, 3).reshape(ntx, N, -1) - float(
+                y_lo
+            )
         # absolute-index validity via shifted local windows: a tap is valid
         # iff its absolute index is in range AND lands inside the window;
         # both hold exactly because the host bounds cover all finite taps
@@ -330,6 +354,7 @@ def remap_static_banded(
     border: str = "constant",
     chunk_rows: int = 16,
     tile_cols: int = 64,
+    coords_dev=None,
 ):
     """Single-warp convenience over remap_static_banded_multi.
 
@@ -342,6 +367,7 @@ def remap_static_banded(
         border,
         chunk_rows,
         tile_cols,
+        coords_dev=None if coords_dev is None else coords_dev[None],
     )
     return out[0]
 

@@ -120,6 +120,49 @@ def _gaussian_band_matrix(
     return m.astype(np.float32)
 
 
+# Axis length beyond which a banded operator runs as a depthwise conv
+# instead of a dense (n, n) band matmul: the matmul embeds an n^2/4-byte
+# constant in the program (229 MB at 6k pole widths — the compile tunnel
+# rejects the proto) and costs O(n^2) FLOPs vs the conv's O(K n).
+CONV_MIN_AXIS = 1024
+
+
+def conv_separable_1d(img, kernel_np, boundary: str, axis: int):
+    """Depthwise 1-D convolution of (..., H, W) along `axis` with an odd
+    host kernel; boundary "reflect" (BORDER_REFLECT_101 fold, matching the
+    band matrices) or "wrap". All other dims fold into the conv batch."""
+    img = jnp.asarray(img, jnp.float32)
+    k = np.asarray(kernel_np, np.float32)
+    r = (len(k) - 1) // 2
+    moved = jnp.moveaxis(img, axis, -1)
+    lead = moved.shape[:-1]
+    n = moved.shape[-1]
+    flat = moved.reshape((-1, 1, n))
+    if r > 0:
+        mode = "wrap" if boundary == "wrap" else "reflect"
+        flat = jnp.pad(flat, [(0, 0), (0, 0), (r, r)], mode=mode)
+    # lax conv is cross-correlation, which matches the band-matrix
+    # convention out[i] = sum_off w[off] x[i+off]
+    out = jax.lax.conv_general_dilated(
+        flat,
+        jnp.asarray(k).reshape(1, 1, -1),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(out.reshape(lead + (n,)), -1, axis)
+
+
+def _apply_separable_axis(img, mat, axis):
+    """Apply one (n_out, n_in) interpolation matrix along `axis` (-2/-1)."""
+    img = jnp.asarray(img, jnp.float32)
+    m = jnp.asarray(mat)
+    if axis in (-2, img.ndim - 2):
+        return jnp.einsum("oh,...hw->...ow", m, img, precision="float32")
+    return jnp.einsum("pw,...hw->...hp", m, img, precision="float32")
+
+
 def _apply_separable(img, row_mat, col_mat):
     """img (..., H, W) -> row_mat @ img @ col_mat^T, f32 MXU with full
     precision (geometry-bearing data; bf16 would cost visible px error)."""
@@ -131,33 +174,133 @@ def _apply_separable(img, row_mat, col_mat):
     return out
 
 
+def _halve_axis_area(img, axis):
+    """Exact INTER_AREA 2:1 box downsample along one (even) axis: each
+    output pixel covers exactly two source pixels, so the (n/2, n) area
+    matrix reduces to a pairwise mean — no constant, O(n) work."""
+    moved = jnp.moveaxis(jnp.asarray(img, jnp.float32), axis, -1)
+    n = moved.shape[-1]
+    pair = moved.reshape(moved.shape[:-1] + (n // 2, 2))
+    return jnp.moveaxis(pair.mean(axis=-1), -1, axis)
+
+
+def _double_axis_cubic(img, axis):
+    """Exact INTER_CUBIC 2x upsample along one axis as two 4-tap polyphase
+    convolutions + interleave. Matches resize_matrix_cubic(n, 2n): output
+    2j samples src j - 0.25 (phase t=0.75 at i0=j-1), output 2j+1 samples
+    src j + 0.25 (phase t=0.25 at i0=j), clamped borders = edge pad."""
+    a = -0.75
+
+    def k01(s):
+        return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+    def k12(s):
+        return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+    def taps(t):
+        # weights for taps at i0-1, i0, i0+1, i0+2
+        return np.array(
+            [k12(t + 1.0), k01(t), k01(1.0 - t), k12(2.0 - t)], np.float32
+        )
+
+    moved = jnp.moveaxis(jnp.asarray(img, jnp.float32), axis, -1)
+    lead = moved.shape[:-1]
+    n = moved.shape[-1]
+    flat = moved.reshape((-1, 1, n))
+    padded = jnp.pad(flat, [(0, 0), (0, 0), (2, 2)], mode="edge")
+
+    def phase(kernel, off):
+        # taps at src indices i0-1..i0+2 with i0 = j + off
+        return jax.lax.conv_general_dilated(
+            padded[..., 1 + off : 1 + off + n + 3],
+            jnp.asarray(kernel).reshape(1, 1, -1),
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    even = phase(taps(0.75), -1)  # i0 = j - 1, t = 0.75
+    odd = phase(taps(0.25), 0)  # i0 = j,     t = 0.25
+    inter = jnp.stack([even, odd], axis=-1).reshape((-1, 1, 2 * n))
+    return jnp.moveaxis(inter.reshape(lead + (2 * n,)), -1, axis)
+
+
+def _double_axis_bilinear(img, axis):
+    """Exact INTER_LINEAR 2x upsample along one axis (polyphase, matching
+    resize_matrix_bilinear(n, 2n)): out[2j] = 0.25 x[j-1] + 0.75 x[j],
+    out[2j+1] = 0.75 x[j] + 0.25 x[j+1], clamped borders."""
+    moved = jnp.moveaxis(jnp.asarray(img, jnp.float32), axis, -1)
+    lead = moved.shape[:-1]
+    n = moved.shape[-1]
+    padded = jnp.pad(
+        moved.reshape((-1, n)), [(0, 0), (1, 1)], mode="edge"
+    )
+    even = 0.25 * padded[:, :n] + 0.75 * padded[:, 1 : n + 1]
+    odd = 0.75 * padded[:, 1 : n + 1] + 0.25 * padded[:, 2 : n + 2]
+    inter = jnp.stack([even, odd], axis=-1).reshape((-1, 2 * n))
+    return jnp.moveaxis(inter.reshape(lead + (2 * n,)), -1, axis)
+
+
 @partial(jax.jit, static_argnames=("shape",))
 def resize_bilinear(img, shape):
-    """Resize (..., H, W) -> (..., *shape) with bilinear sampling."""
+    """Resize (..., H, W) -> (..., *shape) with bilinear sampling. Exact
+    2x upsamples of large axes run as polyphase shifted adds (the dense
+    matrix is an O(n^2)-byte program constant)."""
     H, W = img.shape[-2:]
-    return _apply_separable(
-        img, resize_matrix_bilinear(H, shape[0]), resize_matrix_bilinear(W, shape[1])
-    )
+    out = img
+    if shape[0] == 2 * H and 2 * H >= CONV_MIN_AXIS:
+        out = _double_axis_bilinear(out, -2)
+    elif shape[0] != H:
+        out = _apply_separable_axis(
+            out, resize_matrix_bilinear(H, shape[0]), -2
+        )
+    if shape[1] == 2 * W and 2 * W >= CONV_MIN_AXIS:
+        out = _double_axis_bilinear(out, -1)
+    elif shape[1] != W:
+        out = _apply_separable_axis(
+            out, resize_matrix_bilinear(W, shape[1]), -1
+        )
+    return jnp.asarray(out, jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("shape",))
 def resize_cubic(img, shape):
     """Resize (..., H, W) -> (..., *shape) with bicubic sampling
-    (INTER_CUBIC); the reference's choice for flow-field rescales."""
+    (INTER_CUBIC); the reference's choice for flow-field rescales.
+
+    Exact 2x upsamples of large axes run as polyphase convs: the dense
+    (2n, n) matrix is an O(n^2)-byte program constant and O(n^2) FLOPs
+    (114 MB / 22 TFLOP for the 6k pole flow upsample alone)."""
     H, W = img.shape[-2:]
-    return _apply_separable(
-        img, resize_matrix_cubic(H, shape[0]), resize_matrix_cubic(W, shape[1])
-    )
+    out = img
+    if shape[0] == 2 * H and 2 * H >= CONV_MIN_AXIS:
+        out = _double_axis_cubic(out, -2)
+    elif shape[0] != H:
+        out = _apply_separable_axis(out, resize_matrix_cubic(H, shape[0]), -2)
+    if shape[1] == 2 * W and 2 * W >= CONV_MIN_AXIS:
+        out = _double_axis_cubic(out, -1)
+    elif shape[1] != W:
+        out = _apply_separable_axis(out, resize_matrix_cubic(W, shape[1]), -1)
+    return jnp.asarray(out, jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("shape",))
 def resize_area(img, shape):
     """Resize (..., H, W) -> (..., *shape) with box averaging (INTER_AREA);
-    the reference's choice for downscales."""
+    the reference's choice for downscales. Exact 2:1 halving of large
+    axes reduces to a pairwise mean (no matrix constant)."""
     H, W = img.shape[-2:]
-    return _apply_separable(
-        img, resize_matrix_area(H, shape[0]), resize_matrix_area(W, shape[1])
-    )
+    out = img
+    if H == 2 * shape[0] and H >= CONV_MIN_AXIS:
+        out = _halve_axis_area(out, -2)
+    elif shape[0] != H:
+        out = _apply_separable_axis(out, resize_matrix_area(H, shape[0]), -2)
+    if W == 2 * shape[1] and W >= CONV_MIN_AXIS:
+        out = _halve_axis_area(out, -1)
+    elif shape[1] != W:
+        out = _apply_separable_axis(out, resize_matrix_area(W, shape[1]), -1)
+    return jnp.asarray(out, jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("sigma", "boundary", "ksize"))
@@ -167,11 +310,18 @@ def gaussian_blur(img, sigma: float, boundary: str = "reflect", ksize: int = 0):
     if sigma <= 0:
         return jnp.asarray(img, jnp.float32)
     H, W = img.shape[-2:]
-    return _apply_separable(
-        img,
-        _gaussian_band_matrix(H, sigma, boundary, ksize),
-        _gaussian_band_matrix(W, sigma, boundary, ksize),
-    )
+    if max(H, W) < CONV_MIN_AXIS:
+        return _apply_separable(
+            img,
+            _gaussian_band_matrix(H, sigma, boundary, ksize),
+            _gaussian_band_matrix(W, sigma, boundary, ksize),
+        )
+    radius = (ksize - 1) // 2 if ksize else max(1, int(np.ceil(3.0 * sigma)))
+    xs = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    out = conv_separable_1d(img, k, boundary, -2)
+    return conv_separable_1d(out, k, boundary, -1)
 
 
 def pyramid_down(img, factor: float = 0.5):

@@ -263,9 +263,13 @@ def _banded_tile_cols(w_out: int) -> int:
     return max(64, 32 * (-(-w_out // (30 * 32))))
 
 
-def _project_side_cameras(ctx: RenderContext, side_images):
+def _project_side_cameras(ctx: RenderContext, side_images, warps_dev=None):
     """Feather source rows then remap each side camera into its spherical
-    strip (projectSideToSpherical, TestRenderStereoPanorama.cpp:99-135)."""
+    strip (projectSideToSpherical, TestRenderStereoPanorama.cpp:99-135).
+
+    warps_dev: optional traced copy of ctx.side_warps so the table enters
+    the program as a jit argument, not constant literals (see
+    remap_static_banded_multi)."""
     feather = ctx.config.side_alpha_feather_size
     imgs = side_images
     if feather:
@@ -289,6 +293,7 @@ def _project_side_cameras(ctx: RenderContext, side_images):
             "constant",
             chunk_rows=_banded_chunk_rows(ctx.strip_h),
             tile_cols=_banded_tile_cols(ctx.strip_w),
+            coords_dev=warps_dev,
         )
     coords = jnp.asarray(ctx.side_warps)
     return remap(imgs, coords, interpolation="bicubic", border="constant")
@@ -348,7 +353,9 @@ def _pad_to_height(img, target_h: int):
     return jnp.pad(img, pad)
 
 
-def _prepare_fisheye_strip(ctx, warp, strip_h, image, feather_size, alpha_min=False):
+def _prepare_fisheye_strip(
+    ctx, warp, strip_h, image, feather_size, alpha_min=False, warp_dev=None
+):
     """Remap a fisheye camera into its spherical strip and feather the
     bottom rows (prepareTop/BottomImagesThread,
     TestRenderStereoPanorama.cpp:606-685)."""
@@ -362,6 +369,7 @@ def _prepare_fisheye_strip(ctx, warp, strip_h, image, feather_size, alpha_min=Fa
             "constant",
             chunk_rows=_banded_chunk_rows(strip_h),
             tile_cols=_banded_tile_cols(warp.shape[-1]),
+            coords_dev=warp_dev,
         )
     else:
         spherical = remap(
@@ -547,9 +555,15 @@ def render_frame(
     state: dict | None = None,
     use_temporal: bool = False,
     save_debug: bool = False,
+    device_warps: dict | None = None,
 ):
     """Render one stereo frame (renderStereoPanorama,
     TestRenderStereoPanorama.cpp:716-972).
+
+    device_warps: optional {"side", "top", "bottom"} traced copies of the
+    context warp tables; when given they enter the compiled program as
+    arguments instead of constant literals (required at preset scale —
+    the warp tables alone exceed the compile service's proto limit).
 
     side_images: (N, 4, H, W) RGBA float32 in camera order;
     top_image/bottom_image: (4, H, W) (bottom_image should already be the
@@ -564,7 +578,10 @@ def render_frame(
     new_state: dict[str, Any] = {}
     debug: dict[str, Any] = {}
 
-    projections = _project_side_cameras(ctx, side_images)
+    dw = device_warps or {}
+    projections = _project_side_cameras(
+        ctx, side_images, warps_dev=dw.get("side")
+    )
     pano_l, pano_r, ring_state = _render_ring(
         ctx, projections, state, use_temporal
     )
@@ -582,7 +599,12 @@ def render_frame(
 
     if cfg.enable_top:
         top_strip = _prepare_fisheye_strip(
-            ctx, ctx.top_warp, ctx.top_h, top_image, cfg.std_alpha_feather_size
+            ctx,
+            ctx.top_warp,
+            ctx.top_h,
+            top_image,
+            cfg.std_alpha_feather_size,
+            warp_dev=dw.get("top"),
         )
         warped, st = _pole_to_side_flow(
             ctx, pano2, top_strip, "top", state, use_temporal
@@ -601,6 +623,7 @@ def render_frame(
             bottom_image,
             cfg.std_alpha_feather_size,
             alpha_min=True,
+            warp_dev=dw.get("bottom"),
         )
         flipped = jnp.flip(pano2, axis=(-2, -1))
         warped, st = _pole_to_side_flow(
@@ -647,10 +670,19 @@ def render_frame(
 
 
 def make_jitted_renderer(ctx: RenderContext, use_temporal: bool = False):
-    """Close over the context and jit the whole frame pipeline."""
+    """Close over the context and jit the whole frame pipeline.
+
+    The static warp tables are passed through the jit boundary as
+    arguments (not closure constants): at preset scale they are hundreds
+    of MB and constant-embedding them overflows the compile service."""
+    dw = {"side": jnp.asarray(ctx.side_warps, jnp.float32)}
+    if ctx.top_warp is not None:
+        dw["top"] = jnp.asarray(ctx.top_warp, jnp.float32)
+    if ctx.bottom_warp is not None:
+        dw["bottom"] = jnp.asarray(ctx.bottom_warp, jnp.float32)
 
     @jax.jit
-    def fn(side_images, top_image, bottom_image, state):
+    def fn(side_images, top_image, bottom_image, state, device_warps):
         return render_frame(
             ctx,
             side_images,
@@ -658,6 +690,7 @@ def make_jitted_renderer(ctx: RenderContext, use_temporal: bool = False):
             bottom_image,
             state,
             use_temporal=use_temporal,
+            device_warps=device_warps,
         )
 
-    return fn
+    return lambda side, top, bottom, state: fn(side, top, bottom, state, dw)

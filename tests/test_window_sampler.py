@@ -318,6 +318,44 @@ class TestStaticBandedRemap:
                 np.asarray(banded[i]), np.asarray(dense), atol=3e-5
             )
 
+    def test_device_coords_match_host_coords(self):
+        """Passing the warp as a traced device array (coords_dev) must be
+        bit-identical to the host-constant path — it is the same math with
+        the table riding the jit boundary as an argument."""
+        import jax.numpy as jnp
+
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.remap import remap_static_banded_multi
+        from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
+
+        rig = make_ring_rig().rescaled(0.125)
+        sides = rig.side_cameras[:4]
+        h_rad = 2.0 * rig_fov(rig.side_cameras, False)
+        v_rad = 2.0 * rig_fov(rig.side_cameras, True)
+        warps = np.stack(
+            [
+                side_cam_spherical_warp(
+                    cam, i, len(rig.side_cameras), (280, 140), h_rad, v_rad
+                )[0]
+                for i, cam in enumerate(sides)
+            ]
+        )
+        rng = np.random.default_rng(21)
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (len(sides), 4, 128, 128)).astype(np.float32)
+        )
+        for border in ("constant", "wrap"):
+            a = remap_static_banded_multi(
+                imgs, warps, "bicubic", border, chunk_rows=16, tile_cols=32
+            )
+            b = remap_static_banded_multi(
+                imgs, warps, "bicubic", border, chunk_rows=16, tile_cols=32,
+                coords_dev=jnp.asarray(warps),
+            )
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
     def test_batched_image(self):
         from surround360_tpu.geometry.rig import make_ring_rig
         from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
