@@ -127,6 +127,7 @@ def plan_windows_budgeted(
     tc: int = 128,
     elems_per_px: int = 1,
     max_window_elems: int = 64 * 1024 * 1024,
+    max_tile_transient_elems: int = 384 * 1024 * 1024,
 ) -> WindowPlan:
     """plan_windows, but grow tiles until the window stack fits a budget.
 
@@ -136,7 +137,17 @@ def plan_windows_budgeted(
     materializes multi-GB window stacks (observed 3k HBM OOM). Doubling
     the tile edge along the worse axis halves its duplication, so the
     small-scale tuned geometry is kept verbatim whenever it already fits.
-    elems_per_px = product of lead/channel dims sharing the windows."""
+    elems_per_px = product of lead/channel dims sharing the windows.
+
+    Growth stops before any SINGLE tile's contraction transient
+    (elems_per_px * tr * tc * min(bh, bw), the stage-A temp) exceeds
+    max_tile_transient_elems: past that point tile_chunk=1 can no longer
+    bound memory — an unconstrained collapse to one whole-source window
+    produced a 114 GB stage-A temp at the 6k novel-view warp."""
+
+    def transient(pl):
+        return elems_per_px * pl.tr * pl.tc * min(pl.bh, pl.bw)
+
     while True:
         plan = plan_windows(
             src_hw, out_hw, halo_y, halo_x, interpolation, border, tr, tc
@@ -148,22 +159,42 @@ def plan_windows_budgeted(
         dup_x = plan.bw / plan.tc if plan.ntx > 1 else 1.0
         if dup_y <= 1.0 + 1e-9 and dup_x <= 1.0 + 1e-9:
             return plan  # windows already tight; nothing left to merge
-        if dup_y >= dup_x:
-            tr *= 2
-        else:
-            tc *= 2
+        grew = False
+        for axis in ("y", "x") if dup_y >= dup_x else ("x", "y"):
+            if axis == "y" and plan.nty <= 1:
+                continue  # single tile already; growing tr is a no-op
+            if axis == "x" and plan.ntx <= 1:
+                continue
+            tr2, tc2 = (tr * 2, tc) if axis == "y" else (tr, tc * 2)
+            plan2 = plan_windows(
+                src_hw, out_hw, halo_y, halo_x, interpolation, border,
+                tr2, tc2,
+            )
+            if transient(plan2) <= max_tile_transient_elems:
+                tr, tc = tr2, tc2
+                grew = True
+                break
+        if not grew:
+            return plan  # further merging would blow per-tile transients
 
 
 def sampler_tile_chunk(
     plan: WindowPlan,
     coord_lead_elems: int = 1,
     max_elems: int = 128 * 1024 * 1024,
+    win_lead_elems: int = 0,
 ) -> int:
-    """Tiles per lax.map group so one group's one-hot operands stay near
-    max_elems. coord_lead_elems = product of the coords' lead dims
-    (including folded extra/candidate dims). Returns 0 for 'no chunking
-    needed' (everything fits in one group)."""
+    """Tiles per lax.map group so one group's transients (one-hot operands
+    and, when win_lead_elems — the windows' lead*channel product — is
+    given, the stage-A contraction temp) stay near max_elems.
+    coord_lead_elems = product of the coords' lead dims (including folded
+    extra/candidate dims). Returns 0 for 'no chunking needed'."""
     per_tile = coord_lead_elems * plan.tr * plan.tc * (plan.bw + plan.bh)
+    if win_lead_elems:
+        per_tile = max(
+            per_tile,
+            win_lead_elems * plan.tr * plan.tc * min(plan.bw, plan.bh),
+        )
     total = plan.nty * plan.ntx * per_tile
     if total <= max_elems:
         return 0
@@ -438,6 +469,7 @@ def sample_displaced(
             plan,
             int(np.prod(x.shape[:-2], dtype=np.int64)),
             max_onehot_elems,
+            win_lead_elems=int(np.prod(img.shape[:-2], dtype=np.int64)),
         )
     else:
         plan = plan_windows(

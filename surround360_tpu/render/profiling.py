@@ -37,7 +37,10 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
     """Time each pipeline stage in isolation on the given frame inputs.
 
     Returns {stage: seconds} including 'dispatch_floor' (subtract it for
-    device time) and 'full_frame'."""
+    device time) and 'full_frame'. Stages log as they complete so a
+    failing stage still leaves the earlier measurements on record."""
+    import logging
+
     import jax
     import jax.numpy as jnp
 
@@ -52,39 +55,68 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
         render_frame,
     )
 
+    log = logging.getLogger(__name__)
     cfg = ctx.config
     results = {}
 
-    floor_fn = jax.jit(lambda x: x + 1.0)
-    results["dispatch_floor"], _ = _time(
-        floor_fn, jnp.zeros((8, 128), jnp.float32), reps=reps
-    )
+    def record(name, value):
+        results[name] = value
+        log.warning("stage %s: %.1f ms", name, value * 1e3)
 
-    proj_fn = jax.jit(lambda s: _project_side_cameras(ctx, s))
-    results["projection"], projections = _time(proj_fn, side, reps=reps)
+    # warp tables enter every staged program as arguments, matching
+    # make_jitted_renderer (constants overflow the compile service at 6k+)
+    side_warps_dev = jnp.asarray(ctx.side_warps, jnp.float32)
+    top_warp_dev = (
+        None if ctx.top_warp is None else jnp.asarray(ctx.top_warp, jnp.float32)
+    )
+    bottom_warp_dev = (
+        None
+        if ctx.bottom_warp is None
+        else jnp.asarray(ctx.bottom_warp, jnp.float32)
+    )
+    dw = {"side": side_warps_dev}
+    if top_warp_dev is not None:
+        dw["top"] = top_warp_dev
+    if bottom_warp_dev is not None:
+        dw["bottom"] = bottom_warp_dev
+
+    floor_fn = jax.jit(lambda x: x + 1.0)
+    t, _ = _time(floor_fn, jnp.zeros((8, 128), jnp.float32), reps=reps)
+    record("dispatch_floor", t)
+
+    proj_fn = jax.jit(
+        lambda s, w: _project_side_cameras(ctx, s, warps_dev=w)
+    )
+    t, projections = _time(proj_fn, side, side_warps_dev, reps=reps)
+    record("projection", t)
 
     ov = ctx.overlap_w
     flow_params = make_flow_params(cfg.side_flow_alg)
     overlap_l = projections[..., ctx.strip_w - ov:]
     overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
     flows_fn = jax.jit(lambda l, r: prepare_pair_flows(l, r, flow_params))
-    results["side_flow"], (flow_ltr, flow_rtl) = _time(
+    t, (flow_ltr, flow_rtl) = _time(
         flows_fn, overlap_l, overlap_r, reps=reps
     )
+    record("side_flow", t)
 
     chunks_fn = jax.jit(
         lambda l, r, fl, fr: render_chunk_pair(
             l, r, fl, fr, ctx.warp_cols_l, ctx.t_cols, ctx.warp_cols_r
         )
     )
-    results["novel_view"], _ = _time(
+    t, _ = _time(
         chunks_fn, overlap_l, overlap_r, flow_ltr, flow_rtl, reps=reps
     )
+    record("novel_view", t)
 
     ring_fn = jax.jit(
-        lambda s: _render_ring(ctx, _project_side_cameras(ctx, s), {}, False)[:2]
+        lambda s, w: _render_ring(
+            ctx, _project_side_cameras(ctx, s, warps_dev=w), {}, False
+        )[:2]
     )
-    results["ring_total"], (pano_l, pano_r) = _time(ring_fn, side, reps=reps)
+    t, (pano_l, pano_r) = _time(ring_fn, side, side_warps_dev, reps=reps)
+    record("ring_total", t)
 
     if cfg.enable_top and top is not None:
         pano2 = jnp.stack([
@@ -92,22 +124,26 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
             _pad_to_height(pano_r, cfg.eqr_height),
         ])
         strip_fn = jax.jit(
-            lambda im: _prepare_fisheye_strip(
-                ctx, ctx.top_warp, ctx.top_h, im, cfg.std_alpha_feather_size
+            lambda im, w: _prepare_fisheye_strip(
+                ctx, ctx.top_warp, ctx.top_h, im, cfg.std_alpha_feather_size,
+                warp_dev=w,
             )
         )
-        results["fisheye_strip"], top_strip = _time(strip_fn, top, reps=reps)
+        t, top_strip = _time(strip_fn, top, top_warp_dev, reps=reps)
+        record("fisheye_strip", t)
         pole_fn = jax.jit(
             lambda p2, f: _pole_to_side_flow(ctx, p2, f, "top", {}, False)[0]
         )
-        results["pole_flow_composite_one"], _ = _time(
-            pole_fn, pano2, top_strip, reps=reps
-        )
+        t, _ = _time(pole_fn, pano2, top_strip, reps=reps)
+        record("pole_flow_composite_one", t)
 
     frame_fn = jax.jit(
-        lambda s, t, b: render_frame(ctx, s, t, b)[0]["equirect"]
+        lambda s, t, b, w: render_frame(ctx, s, t, b, device_warps=w)[0][
+            "equirect"
+        ]
     )
-    results["full_frame"], _ = _time(frame_fn, side, top, bottom, reps=reps)
+    t, _ = _time(frame_fn, side, top, bottom, dw, reps=reps)
+    record("full_frame", t)
     return results
 
 
