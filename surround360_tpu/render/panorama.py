@@ -636,6 +636,16 @@ def render_frame(
         flipped = flatten_layers_deghost_prefer_base(flipped, warped)
         pano2 = jnp.flip(flipped, axis=(-2, -1))
 
+    outputs = _finalize_outputs(ctx, pano2)
+    if save_debug:
+        outputs["debug"] = debug
+    return outputs, new_state
+
+
+def _finalize_outputs(ctx: RenderContext, pano2):
+    """Sharpen, optional cubemap, optional final resize, stereo stack
+    (TestRenderStereoPanorama.cpp:901-961)."""
+    cfg = ctx.config
     rgb2 = pano2[:, :3]
 
     if cfg.sharpening > 0.0:
@@ -664,33 +674,119 @@ def render_frame(
         )
 
     outputs["equirect"] = jnp.concatenate([rgb2[0], rgb2[1]], axis=-2)
-    if save_debug:
-        outputs["debug"] = debug
-    return outputs, new_state
+    return outputs
 
 
-def make_jitted_renderer(ctx: RenderContext, use_temporal: bool = False):
-    """Close over the context and jit the whole frame pipeline.
+# Above this equirect width the whole-frame program is rendered in
+# sequential jitted stages: the fused 6k monolith exhausts HBM (stage
+# window stacks + panorama buffers all live at once) while every stage
+# fits comfortably on its own, and at multi-second frame times the few
+# extra ~40 ms dispatches are free. Mirrors the reference's own staged
+# structure (renderStereoPanorama's thread phases).
+STAGED_RENDER_MIN_EQR_W = 4000
+
+
+def make_jitted_renderer(
+    ctx: RenderContext, use_temporal: bool = False, staged: bool | None = None
+):
+    """Close over the context and jit the frame pipeline; returns
+    f(side, top, bottom, state) -> (outputs, new_state).
 
     The static warp tables are passed through the jit boundary as
     arguments (not closure constants): at preset scale they are hundreds
-    of MB and constant-embedding them overflows the compile service."""
+    of MB and constant-embedding them overflows the compile service.
+    staged=None picks the monolithic single program below
+    STAGED_RENDER_MIN_EQR_W and the sequential staged driver above it."""
+    cfg = ctx.config
+    if staged is None:
+        staged = cfg.eqr_width >= STAGED_RENDER_MIN_EQR_W
+
     dw = {"side": jnp.asarray(ctx.side_warps, jnp.float32)}
     if ctx.top_warp is not None:
         dw["top"] = jnp.asarray(ctx.top_warp, jnp.float32)
     if ctx.bottom_warp is not None:
         dw["bottom"] = jnp.asarray(ctx.bottom_warp, jnp.float32)
 
-    @jax.jit
-    def fn(side_images, top_image, bottom_image, state, device_warps):
-        return render_frame(
-            ctx,
-            side_images,
-            top_image,
-            bottom_image,
-            state,
-            use_temporal=use_temporal,
-            device_warps=device_warps,
+    if not staged:
+
+        @jax.jit
+        def fn(side_images, top_image, bottom_image, state, device_warps):
+            return render_frame(
+                ctx,
+                side_images,
+                top_image,
+                bottom_image,
+                state,
+                use_temporal=use_temporal,
+                device_warps=device_warps,
+            )
+
+        return lambda side, top, bottom, state: fn(
+            side, top, bottom, state, dw
         )
 
-    return lambda side, top, bottom, state: fn(side, top, bottom, state, dw)
+    @jax.jit
+    def ring_stage(side_images, state, warps):
+        projections = _project_side_cameras(ctx, side_images, warps_dev=warps)
+        pano_l, pano_r, ring_state = _render_ring(
+            ctx, projections, state, use_temporal
+        )
+        pano2 = jnp.stack(
+            [
+                _pad_to_height(pano_l, cfg.eqr_height),
+                _pad_to_height(pano_r, cfg.eqr_height),
+            ]
+        )
+        return pano2, ring_state
+
+    @jax.jit
+    def top_stage(pano2, top_image, state, warp):
+        strip = _prepare_fisheye_strip(
+            ctx,
+            ctx.top_warp,
+            ctx.top_h,
+            top_image,
+            cfg.std_alpha_feather_size,
+            warp_dev=warp,
+        )
+        warped, st = _pole_to_side_flow(
+            ctx, pano2, strip, "top", state, use_temporal
+        )
+        return flatten_layers_deghost_prefer_base(pano2, warped), st
+
+    @jax.jit
+    def bottom_stage(pano2, bottom_image, state, warp):
+        strip = _prepare_fisheye_strip(
+            ctx,
+            ctx.bottom_warp,
+            ctx.bottom_h,
+            bottom_image,
+            cfg.std_alpha_feather_size,
+            alpha_min=True,
+            warp_dev=warp,
+        )
+        flipped = jnp.flip(pano2, axis=(-2, -1))
+        warped, st = _pole_to_side_flow(
+            ctx, flipped, strip, "bottom", state, use_temporal
+        )
+        flipped = flatten_layers_deghost_prefer_base(flipped, warped)
+        return jnp.flip(flipped, axis=(-2, -1)), st
+
+    @jax.jit
+    def output_stage(pano2):
+        return _finalize_outputs(ctx, pano2)
+
+    def fn(side_images, top_image, bottom_image, state):
+        state = state or {}
+        new_state: dict[str, Any] = {}
+        pano2, st = ring_stage(side_images, state, dw["side"])
+        new_state.update(st)
+        if cfg.enable_top:
+            pano2, st = top_stage(pano2, top_image, state, dw["top"])
+            new_state.update(st)
+        if cfg.enable_bottom:
+            pano2, st = bottom_stage(pano2, bottom_image, state, dw["bottom"])
+            new_state.update(st)
+        return output_stage(pano2), new_state
+
+    return fn

@@ -122,6 +122,41 @@ class TestFullSphereRender:
         p = psnr(left[:, band], expect[:, band])
         assert p > 25.0, f"full render side-band PSNR: {p:.1f} dB"
 
+    def test_staged_renderer_matches_monolithic(self, rig, views):
+        """The preset-scale staged driver (sequential jitted stages) must
+        produce the same frame and state as the single-program path."""
+        from surround360_tpu.render.panorama import make_jitted_renderer
+
+        cfg = RenderConfig(
+            eqr_width=280,
+            eqr_height=140,
+            side_flow_alg="pixflow_tpu",
+            polar_flow_alg="pixflow_tpu",
+            enable_top=True,
+            enable_bottom=True,
+        )
+        ctx = build_render_context(rig, cfg)
+        side_images = jnp.asarray(
+            np.stack(
+                [views[i] for i in [rig.ids.index(s) for s in rig.side_ids]]
+            )
+        )
+        top = jnp.asarray(views[rig.top_camera_index])
+        bottom = jnp.asarray(views[rig.bottom_camera_index])
+        mono = make_jitted_renderer(ctx, staged=False)
+        staged = make_jitted_renderer(ctx, staged=True)
+        out_m, st_m = mono(side_images, top, bottom, None)
+        out_s, st_s = staged(side_images, top, bottom, None)
+        np.testing.assert_allclose(
+            np.asarray(out_m["equirect"]),
+            np.asarray(out_s["equirect"]),
+            atol=1e-5,
+        )
+        assert set(st_m.keys()) == set(st_s.keys())
+        # temporal chaining works through the staged driver too
+        out_s2, _ = staged(side_images, top, bottom, st_s)
+        assert np.isfinite(np.asarray(out_s2["equirect"])).all()
+
     def test_polar_flow_full_res_matches_half_res(self, rig, views):
         """polar_flow_scale=1.0 (the reference's full-res pole flow,
         TestRenderStereoPanorama.cpp:388-561) must run and closely match
