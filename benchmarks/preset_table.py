@@ -70,7 +70,10 @@ def main():
         render = make_jitted_renderer(ctx)
         t0 = time.time()
         try:
-            out, _ = render(side, top, bottom, None)
+            # index [0] drops the state pytree immediately: at 6k it holds
+            # ~8 GB of pole flows/prev-frames, and keeping frame k's state
+            # alive across frame k+1 doubles that and OOMs the chip
+            out = render(side, top, bottom, None)[0]
             np.asarray(out["equirect"][0, 0, 0])
         except Exception as e:  # noqa: BLE001 - record OOM/compile failures
             rows.append({"preset": name, "error": f"{type(e).__name__}: {e}"[:200]})
@@ -79,7 +82,7 @@ def main():
         compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(reps):
-            out, _ = render(side, top, bottom, None)
+            out = render(side, top, bottom, None)[0]
             np.asarray(out["equirect"][0, 0, 0])
         ms = (time.time() - t0) / reps * 1e3
         stats = {}

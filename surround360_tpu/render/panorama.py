@@ -27,6 +27,8 @@ from dataclasses import dataclass, field
 from functools import partial
 from typing import Any
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -415,13 +417,16 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     )
     hints = jnp.full((2,), HINT_DOWN, jnp.int32)
     scale = cfg.polar_flow_scale
+    small_side = small_fish = None
     if scale != 1.0:
         from ..ops.resize import resize_area, resize_bilinear
 
         fh, fw = int(rows_f * scale), int(ext_w * scale)
+        small_side = resize_area(ext_side, (fh, fw))
+        small_fish = resize_area(ext_fish, (fh, fw))
         flow_small = compute_flow(
-            resize_area(ext_side, (fh, fw)),
-            resize_area(ext_fish, (fh, fw)),
+            small_side,
+            small_fish,
             flow_params,
             hint=hints,
             prev_flow=None
@@ -508,11 +513,24 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     warped = jnp.pad(
         warped, [(0, 0), (0, 0), (0, target_h - rows_f), (0, 0)]
     )
-    new_state = {
-        f"{state_key}_flow": flow,
-        f"{state_key}_prev_side": ext_side,
-        f"{state_key}_prev_fish": ext_fish,
-    }
+    # temporal state is stored at FLOW resolution when the flow ran
+    # downscaled: next frame's reader resizes to flow resolution anyway
+    # (a no-op on the stored arrays), and at preset scale the full-res
+    # copies are ~4 GB/pole — enough to OOM frame 2 on one chip. Flow is
+    # stored in full-res pixel units at either resolution (the reader
+    # multiplies by `scale` after its resize).
+    if small_side is not None:
+        new_state = {
+            f"{state_key}_flow": flow_small / scale,
+            f"{state_key}_prev_side": small_side,
+            f"{state_key}_prev_fish": small_fish,
+        }
+    else:
+        new_state = {
+            f"{state_key}_flow": flow,
+            f"{state_key}_prev_side": ext_side,
+            f"{state_key}_prev_fish": ext_fish,
+        }
     return warped, new_state
 
 
@@ -776,16 +794,29 @@ def make_jitted_renderer(
     def output_stage(pano2):
         return _finalize_outputs(ctx, pano2)
 
+    # serialize stage execution so only one stage's workspace is ever in
+    # flight (async dispatch can otherwise enqueue the next stage while
+    # the previous one still holds its multi-GB window transients)
+    sync = os.environ.get("S360_STAGED_SYNC", "1") == "1"
+
+    def _done(x):
+        if sync:
+            jax.block_until_ready(x)
+        return x
+
     def fn(side_images, top_image, bottom_image, state):
         state = state or {}
         new_state: dict[str, Any] = {}
         pano2, st = ring_stage(side_images, state, dw["side"])
+        _done(pano2)
         new_state.update(st)
         if cfg.enable_top:
             pano2, st = top_stage(pano2, top_image, state, dw["top"])
+            _done(pano2)
             new_state.update(st)
         if cfg.enable_bottom:
             pano2, st = bottom_stage(pano2, bottom_image, state, dw["bottom"])
+            _done(pano2)
             new_state.update(st)
         return output_stage(pano2), new_state
 
