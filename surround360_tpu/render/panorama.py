@@ -660,9 +660,24 @@ def render_frame(
     return outputs, new_state
 
 
-def _finalize_outputs(ctx: RenderContext, pano2):
+def _final_resize_shape(cfg) -> "tuple[int, int] | None":
+    """(rows, cols) of the final per-eye resize, or None when final ==
+    render size (batch_process_video.py:176-199 geometry)."""
+    if not (cfg.final_eqr_width and cfg.final_eqr_height):
+        return None
+    shape = (cfg.final_eqr_height // 2, cfg.final_eqr_width)
+    if shape == (cfg.eqr_height, cfg.eqr_width):
+        return None
+    return shape
+
+
+def _finalize_outputs(ctx: RenderContext, pano2, resize_mats=None):
     """Sharpen, optional cubemap, optional final resize, stereo stack
-    (TestRenderStereoPanorama.cpp:901-961)."""
+    (TestRenderStereoPanorama.cpp:901-961).
+
+    resize_mats: optional {"row": (Ho, H), "col": (Wo, W)} traced cubic
+    interpolation matrices (only the axes that change size) so the final
+    resize at 4k/8k doesn't embed an O(n^2)-byte constant (275 MB at 8k)."""
     cfg = ctx.config
     rgb2 = pano2[:, :3]
 
@@ -681,15 +696,17 @@ def _finalize_outputs(ctx: RenderContext, pano2):
             [_cubemap(ctx, rgb2[0]), _cubemap(ctx, rgb2[1])], axis=-2
         )
 
-    if (
-        cfg.final_eqr_width
-        and cfg.final_eqr_height
-        and (cfg.final_eqr_width, cfg.final_eqr_height // 2)
-        != (cfg.eqr_width, cfg.eqr_height)
-    ):
-        rgb2 = resize_cubic(
-            rgb2, (cfg.final_eqr_height // 2, cfg.final_eqr_width)
-        )
+    final = _final_resize_shape(cfg)
+    if final is not None:
+        if resize_mats:
+            from ..ops.resize import _apply_separable_axis
+
+            if "row" in resize_mats:
+                rgb2 = _apply_separable_axis(rgb2, resize_mats["row"], -2)
+            if "col" in resize_mats:
+                rgb2 = _apply_separable_axis(rgb2, resize_mats["col"], -1)
+        else:
+            rgb2 = resize_cubic(rgb2, final)
 
     outputs["equirect"] = jnp.concatenate([rgb2[0], rgb2[1]], axis=-2)
     return outputs
@@ -790,9 +807,23 @@ def make_jitted_renderer(
         flipped = flatten_layers_deghost_prefer_base(flipped, warped)
         return jnp.flip(flipped, axis=(-2, -1)), st
 
+    final = _final_resize_shape(cfg)
+    resize_mats = {}
+    if final is not None:
+        from ..ops.resize import resize_matrix_cubic
+
+        if final[0] != cfg.eqr_height:
+            resize_mats["row"] = jnp.asarray(
+                resize_matrix_cubic(cfg.eqr_height, final[0])
+            )
+        if final[1] != cfg.eqr_width:
+            resize_mats["col"] = jnp.asarray(
+                resize_matrix_cubic(cfg.eqr_width, final[1])
+            )
+
     @jax.jit
-    def output_stage(pano2):
-        return _finalize_outputs(ctx, pano2)
+    def output_stage(pano2, mats):
+        return _finalize_outputs(ctx, pano2, resize_mats=mats)
 
     # serialize stage execution so only one stage's workspace is ever in
     # flight (async dispatch can otherwise enqueue the next stage while
@@ -818,6 +849,6 @@ def make_jitted_renderer(
             pano2, st = bottom_stage(pano2, bottom_image, state, dw["bottom"])
             _done(pano2)
             new_state.update(st)
-        return output_stage(pano2), new_state
+        return output_stage(pano2, resize_mats), new_state
 
     return fn

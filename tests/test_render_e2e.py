@@ -134,6 +134,9 @@ class TestFullSphereRender:
             polar_flow_alg="pixflow_tpu",
             enable_top=True,
             enable_bottom=True,
+            # exercises the device-arg final-resize matrices (8k path)
+            final_eqr_width=256,
+            final_eqr_height=256,
         )
         ctx = build_render_context(rig, cfg)
         side_images = jnp.asarray(
