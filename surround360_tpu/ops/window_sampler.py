@@ -53,6 +53,7 @@ __all__ = [
     "plan_windows_budgeted",
     "build_windows",
     "sample_windows",
+    "sample_windows_sliced",
     "sample_displaced",
     "sampler_tile_chunk",
 ]
@@ -436,6 +437,113 @@ def sample_windows(
     return out
 
 
+def _padded_source(img, plan: WindowPlan):
+    """Pad img so every tile's window is a static-size in-bounds slice at
+    (ty*tr, tx*tc) in padded coords (the same layout build_windows uses)."""
+    p = plan
+    nl = img.ndim - 2
+    ky = -(-p.bh // p.tr)
+    kx = -(-p.bw // p.tc)
+    pad_y_hi = max(0, (p.nty - 1 + ky) * p.tr - p.pad_y - p.H)
+    pad_x_hi = max(0, (p.ntx - 1 + kx) * p.tc - p.pad_x - p.W)
+    return jnp.pad(
+        img, [(0, 0)] * nl + [(p.pad_y, pad_y_hi), (p.pad_x, pad_x_hi)]
+    )
+
+
+def sample_windows_sliced(img, plan: WindowPlan, x, y, precision="float32"):
+    """sample_windows without ever materializing the window stack: each
+    lax.map iteration dynamic-slices ONE tile's window out of the padded
+    source. Peak extra memory is a single (bh, bw) window + its one-hots
+    instead of T overlapping windows (6.3 GB for the 8k novel-view warp).
+    Same math as build_windows + sample_windows with tile_chunk=1."""
+    p = plan
+    padded = _padded_source(img, p)
+    lead = img.shape[:-2]  # includes the channel dim
+    nl = len(lead)
+    n_lead_c = nl - 1  # coords carry the lead dims but not channels
+    extra_shape = x.shape[: x.ndim - 2 - n_lead_c]
+    ne = len(extra_shape)
+    xt = _tile_coords(x, p)
+    yt = _tile_coords(y, p)
+    if ne:
+        E = int(np.prod(extra_shape))
+        perm = (
+            (0,)
+            + tuple(range(1 + ne, 1 + ne + n_lead_c))
+            + tuple(range(1, 1 + ne))
+            + (xt.ndim - 1,)
+        )
+        fold = lambda v: v.transpose(perm).reshape(
+            v.shape[:1]
+            + tuple(v.shape[1 + ne + i] for i in range(n_lead_c))
+            + (E * p.tr * p.tc,)
+        )
+        xt = fold(xt)
+        yt = fold(yt)
+    T = p.nty * p.ntx
+    tiles = np.arange(T)
+    ty = jnp.asarray(tiles // p.ntx, jnp.int32)
+    tx = jnp.asarray(tiles % p.ntx, jnp.int32)
+
+    def body(args):
+        xt_, yt_, ty_, tx_ = args
+        win = jax.lax.dynamic_slice(
+            padded,
+            (0,) * nl + (ty_ * p.tr, tx_ * p.tc),
+            lead + (p.bh, p.bw),
+        )
+        ohx = _onehot_axis(
+            xt_[None], tx_[None], p.W, p.bw,
+            p.tc if p.ntx > 1 else 0, p.pad_x, p,
+        )
+        ohy = _onehot_axis(
+            yt_[None], ty_[None], p.H, p.bh,
+            p.tr if p.nty > 1 else 0, p.pad_y, p,
+        )
+        if p.bh > p.bw:
+            tmp = jnp.einsum(
+                "t...ph,t...chw->t...cpw", ohy, win[None],
+                precision=precision,
+            )
+            out = jnp.einsum(
+                "t...pw,t...cpw->t...cp", ohx, tmp, precision=precision
+            )
+        else:
+            tmp = jnp.einsum(
+                "t...pw,t...chw->t...cph", ohx, win[None],
+                precision=precision,
+            )
+            out = jnp.einsum(
+                "t...ph,t...cph->t...cp", ohy, tmp, precision=precision
+            )
+        return out[0]
+
+    out = jax.lax.map(body, (xt, yt, ty, tx))
+    # (T, ..., C, E*Pt or Pt) -> same untile as sample_windows
+    if ne:
+        E = int(np.prod(extra_shape))
+        out = out.reshape(out.shape[:-1] + (E, p.tr * p.tc))
+        axes = tuple(range(out.ndim))
+        out = out.transpose((0, out.ndim - 2) + axes[1:-2] + (out.ndim - 1,))
+    lead_o = out.shape[1:-1]
+    nlo = len(lead_o)
+    out = out.reshape((p.nty, p.ntx) + lead_o + (p.tr, p.tc))
+    perm = tuple(range(2, 2 + nlo)) + (0, 2 + nlo, 1, 3 + nlo)
+    out = out.transpose(perm)
+    out = out.reshape(lead_o + (p.nty * p.tr, p.ntx * p.tc))
+    out = out[..., : p.Ho, : p.Wo]
+    if ne:
+        out = out.reshape(extra_shape + out.shape[1:])
+    return out
+
+
+# Window-stack elements above which sample_displaced switches to the
+# sliced path (the stack would otherwise materialize in full even with
+# tile chunking, since lax.map operands are whole arrays).
+WINDOW_STACK_SLICED_ELEMS = 192 * 1024 * 1024
+
+
 def sample_displaced(
     img,
     x,
@@ -458,23 +566,31 @@ def sample_displaced(
     max_window_elems > 0 switches to the budgeted plan (tiles grown until
     the window stack fits) and derives tile_chunk from max_onehot_elems —
     the memory-safe mode for preset-scale shapes."""
+    lead_elems = int(np.prod(img.shape[:-2], dtype=np.int64))
     if max_window_elems:
         plan = plan_windows_budgeted(
             img.shape[-2:], x.shape[-2:], halo_y, halo_x, interpolation,
             border, tr, tc,
-            elems_per_px=int(np.prod(img.shape[:-2], dtype=np.int64)),
+            elems_per_px=lead_elems,
             max_window_elems=max_window_elems,
         )
         tile_chunk = sampler_tile_chunk(
             plan,
             int(np.prod(x.shape[:-2], dtype=np.int64)),
             max_onehot_elems,
-            win_lead_elems=int(np.prod(img.shape[:-2], dtype=np.int64)),
+            win_lead_elems=lead_elems,
         )
     else:
         plan = plan_windows(
             img.shape[-2:], x.shape[-2:], halo_y, halo_x, interpolation,
             border, tr, tc,
         )
+    stack_elems = plan.nty * plan.ntx * plan.bh * plan.bw * lead_elems
+    if (
+        max_window_elems
+        and plan.nty * plan.ntx > 1
+        and stack_elems > WINDOW_STACK_SLICED_ELEMS
+    ):
+        return sample_windows_sliced(img, plan, x, y)
     win = build_windows(img, plan)
     return sample_windows(win, plan, x, y, tile_chunk=tile_chunk)

@@ -164,6 +164,33 @@ def test_budgeted_plan_and_auto_chunk():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_sliced_matches_stacked():
+    """sample_windows_sliced (per-tile dynamic_slice, no window stack)
+    must equal build_windows + sample_windows exactly — including coords
+    with extra candidate dims and a narrower output."""
+    from surround360_tpu.ops.window_sampler import sample_windows_sliced
+
+    rng = np.random.default_rng(17)
+    B, C, H, W, Wo, K = 2, 3, 48, 80, 64, 3
+    img = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    plan = plan_windows((H, W), (H, Wo), 7, 9, "bilinear", "clamp", 8, 16)
+    win = build_windows(img, plan)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(Wo), indexing="ij")
+    dx = np.stack([_smooth_field(rng, (B, H, Wo), 4.0) for _ in range(K)])
+    dy = np.stack([_smooth_field(rng, (B, H, Wo), 4.0) for _ in range(K)])
+    x = jnp.clip(gx[None, None] + dx, 0.0, W - 2.0)
+    y = jnp.clip(gy[None, None] + dy, 0.0, H - 2.0)
+    ref = sample_windows(win, plan, x, y)
+    out = sample_windows_sliced(img, plan, x, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+    # bicubic + constant border too
+    plan2 = plan_windows((H, W), (H, Wo), 7, 9, "bicubic", "constant", 8, 16)
+    win2 = build_windows(img, plan2)
+    ref2 = sample_windows(win2, plan2, x[0], y[0])
+    out2 = sample_windows_sliced(img, plan2, x[0], y[0])
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=5e-6)
+
+
 def test_single_tile_narrow_output():
     """Output narrower than the source with tiles grown past the output
     (budgeted fallback): the single window must be exactly the source, not
