@@ -760,18 +760,69 @@ def make_jitted_renderer(
             side, top, bottom, state, dw
         )
 
+    # the ring is itself three stages: the fused projection+flow+novel
+    # program OOMs at 8k while each piece fits alone
     @jax.jit
-    def ring_stage(side_images, state, warps):
-        projections = _project_side_cameras(ctx, side_images, warps_dev=warps)
-        pano_l, pano_r, ring_state = _render_ring(
-            ctx, projections, state, use_temporal
+    def proj_stage(side_images, warps):
+        return _project_side_cameras(ctx, side_images, warps_dev=warps)
+
+    @jax.jit
+    def flow_stage(projections, state):
+        ov = ctx.overlap_w
+        flow_params = make_flow_params(cfg.side_flow_alg)
+        overlap_l = projections[..., ctx.strip_w - ov :]
+        overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
+        flow_ltr, flow_rtl = prepare_pair_flows(
+            overlap_l,
+            overlap_r,
+            flow_params,
+            prev_flow_l_to_r=state.get("pair_flow_ltr"),
+            prev_flow_r_to_l=state.get("pair_flow_rtl"),
+            prev_overlap_l=state.get("prev_overlap_l"),
+            prev_overlap_r=state.get("prev_overlap_r"),
+            use_temporal=use_temporal,
         )
-        pano2 = jnp.stack(
+        ring_state = {
+            "pair_flow_ltr": flow_ltr,
+            "pair_flow_rtl": flow_rtl,
+            "prev_overlap_l": overlap_l,
+            "prev_overlap_r": overlap_r,
+        }
+        return overlap_l, overlap_r, flow_ltr, flow_rtl, ring_state
+
+    @jax.jit
+    def chunk_stage(overlap_l, overlap_r, flow_ltr, flow_rtl):
+        chunks_l, chunks_r = render_chunk_pair(
+            overlap_l,
+            overlap_r,
+            flow_ltr,
+            flow_rtl,
+            ctx.warp_cols_l,
+            ctx.t_cols,
+            ctx.warp_cols_r,
+        )
+        pano_l = stack_horizontal(
+            [chunks_l[i] for i in range(chunks_l.shape[0])]
+        )
+        pano_r = stack_horizontal(
+            [chunks_r[i] for i in range(chunks_r.shape[0])]
+        )
+        pano_l = offset_horizontal_wrap(pano_l, ctx.zero_parallax_shift_px)
+        pano_r = offset_horizontal_wrap(pano_r, -ctx.zero_parallax_shift_px)
+        return jnp.stack(
             [
                 _pad_to_height(pano_l, cfg.eqr_height),
                 _pad_to_height(pano_r, cfg.eqr_height),
             ]
         )
+
+    def ring_stage(side_images, state, warps):
+        projections = proj_stage(side_images, warps)
+        _done(projections)
+        ol, orr, fl, fr, ring_state = flow_stage(projections, state)
+        _done(fl)
+        del projections
+        pano2 = chunk_stage(ol, orr, fl, fr)
         return pano2, ring_state
 
     @jax.jit
