@@ -332,14 +332,47 @@ def remap_static_banded_multi(
         windows = jnp.stack(
             [band[..., lo : lo + wb] for lo in x_los]
         )  # (ntx, N, ..., C, hb, wb)
-        ohx = onehot(xs, wb, "constant")  # (ntx, N, P, wb)
-        ohy = onehot(ys, hb, y_mode if y_mode == "clamp" else "constant")
-        tmp = jnp.einsum(
-            "xnpw,xn...chw->xn...cph", ohx, windows, precision="float32"
-        )
-        out = jnp.einsum(
-            "xnph,xn...cph->xn...cp", ohy, tmp, precision="float32"
-        )  # (ntx, N, ..., C, P)
+        ymode = y_mode if y_mode == "clamp" else "constant"
+
+        def contract(xs_, ys_, win_):
+            ohx = onehot(xs_, wb, "constant")  # (..., N, P, wb)
+            ohy = onehot(ys_, hb, ymode)
+            # eliminate the larger band axis first (smaller stage temp)
+            if hb > wb:
+                tmp = jnp.einsum(
+                    "xnph,xn...chw->xn...cpw", ohy, win_,
+                    precision="float32",
+                )
+                return jnp.einsum(
+                    "xnpw,xn...cpw->xn...cp", ohx, tmp, precision="float32"
+                )
+            tmp = jnp.einsum(
+                "xnpw,xn...chw->xn...cph", ohx, win_, precision="float32"
+            )
+            return jnp.einsum(
+                "xnph,xn...cph->xn...cp", ohy, tmp, precision="float32"
+            )
+
+        # the all-tiles einsum's stage temp is ntx * N * C * P * band
+        # elements — 20 GB for the 8k fisheye strips (polar warps have
+        # near-full-height y-bands); chunk tiles through lax.map with
+        # one-hots built inside the body when it exceeds the budget
+        lead_elems = int(np.prod(imgs.shape[:-2], dtype=np.int64))
+        tmp_elems = ntx * lead_elems * xs.shape[-1] * min(hb, wb)
+        if tmp_elems > _REMAP_MATMUL_CHUNK_ELEMS:
+            per_tile = max(1, tmp_elems // ntx)
+            g = max(1, int(_REMAP_MATMUL_CHUNK_ELEMS // per_tile))
+            g = max(d for d in range(1, g + 1) if ntx % d == 0)
+            grp = lambda a: a.reshape((ntx // g, g) + a.shape[1:])
+
+            def body(args):
+                xs_, ys_, win_ = args
+                return contract(xs_, ys_, win_)
+
+            out = jax.lax.map(body, (grp(xs), grp(ys), grp(windows)))
+            out = out.reshape((ntx,) + out.shape[2:])
+        else:
+            out = contract(xs, ys, windows)  # (ntx, N, ..., C, P)
         out = out.reshape((ntx,) + imgs.shape[:-2] + (nrows, tile_cols))
         out = jnp.moveaxis(out, 0, -2)  # (N, ..., nrows, ntx, tile_cols)
         out = out.reshape(imgs.shape[:-2] + (nrows, ntx * tile_cols))

@@ -383,6 +383,38 @@ class TestStaticBandedRemap:
                 np.asarray(a), np.asarray(b), atol=1e-6
             )
 
+    def test_tile_chunked_einsum_matches_unchunked(self):
+        """Forcing the banded remap's lax.map tile chunking (the 8k
+        fisheye-strip memory path) must match the all-tiles einsum."""
+        import importlib
+
+        import jax.numpy as jnp
+
+        R = importlib.import_module("surround360_tpu.ops.remap")
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 1, (2, 4, 64, 96)).astype(np.float32))
+        gy, gx = np.meshgrid(np.arange(80), np.arange(112), indexing="ij")
+        warps = np.stack([
+            np.stack([gx * 96 / 112.0 + 3 * np.sin(gy / 9.0),
+                      gy * 64 / 80.0 + 2 * np.cos(gx / 7.0)]),
+            np.stack([gx * 96 / 112.0 - 2 * np.cos(gy / 11.0),
+                      gy * 64 / 80.0 + 1.5 * np.sin(gx / 5.0)]),
+        ]).astype(np.float32)
+        ref = R.remap_static_banded_multi(
+            img, warps, "bicubic", "constant", chunk_rows=16, tile_cols=32
+        )
+        saved = R._REMAP_MATMUL_CHUNK_ELEMS
+        try:
+            R._REMAP_MATMUL_CHUNK_ELEMS = 1000
+            out = R.remap_static_banded_multi(
+                img, warps, "bicubic", "constant", chunk_rows=16, tile_cols=32
+            )
+        finally:
+            R._REMAP_MATMUL_CHUNK_ELEMS = saved
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-6
+        )
+
     def test_batched_image(self):
         from surround360_tpu.geometry.rig import make_ring_rig
         from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
