@@ -337,8 +337,9 @@ def remap_static_banded_multi(
         def contract(xs_, ys_, win_):
             ohx = onehot(xs_, wb, "constant")  # (..., N, P, wb)
             ohy = onehot(ys_, hb, ymode)
-            # eliminate the larger band axis first (smaller stage temp)
-            if hb > wb:
+            # eliminate the larger band axis first (smaller stage temp);
+            # small bands keep the tuned w-first order
+            if hb > wb and hb >= 512:
                 tmp = jnp.einsum(
                     "xnph,xn...chw->xn...cpw", ohy, win_,
                     precision="float32",

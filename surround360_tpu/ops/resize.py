@@ -123,8 +123,11 @@ def _gaussian_band_matrix(
 # Axis length beyond which a banded operator runs as a depthwise conv
 # instead of a dense (n, n) band matmul: the matmul embeds an n^2/4-byte
 # constant in the program (229 MB at 6k pole widths — the compile tunnel
-# rejects the proto) and costs O(n^2) FLOPs vs the conv's O(K n).
-CONV_MIN_AXIS = 1024
+# rejects the proto) and costs O(n^2) FLOPs vs the conv's O(K n). Below
+# the threshold the MXU matmul is measured FASTER than conv on TPU
+# (bench-scale 1008 regressed 4.9 -> 3.9 fps with a 1024 threshold), so
+# it sits above every bench-scale axis and below the preset scales.
+CONV_MIN_AXIS = 2500
 
 
 def conv_separable_1d(img, kernel_np, boundary: str, axis: int):

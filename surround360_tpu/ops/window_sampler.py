@@ -375,12 +375,14 @@ def sample_windows(
         return ohx, ohy
 
     def contract(ox, oy, win):
-        # two one-hot matmuls per tile; eliminate the LARGER band axis
-        # first so the stage-A temp carries only the smaller band.
+        # two one-hot matmuls per tile; at preset-scale bands eliminate
+        # the LARGER band axis first so the stage-A temp carries only the
+        # smaller band (memory); small bands keep the tuned w-first order
+        # (measured faster at bench scales).
         # precision "float32" = exact (multi-pass f32 emulation on the
         # bf16 MXU); "default" = single-pass bf16 MXU (callers ranking
         # flow candidates tolerate the 8-bit mantissa; warps stay exact)
-        if p.bh > p.bw:
+        if p.bh > p.bw and p.bh >= 512:
             tmp = jnp.einsum(
                 "t...ph,t...chw->t...cpw", oy, win, precision=precision
             )
