@@ -79,6 +79,7 @@ def render_equirect_reference(
     ctx,
     env_fn=checker_sinusoid_environment,
     after_wrap_shift: bool = True,
+    full_sphere: bool = False,
 ):
     """Ground-truth mono equirect for an at-infinity environment, laid out
     in the renderer's output convention. The lazy warp samples the OVERLAP
@@ -112,6 +113,11 @@ def render_equirect_reference(
     phi = ctx.v_radians / 2.0 - (y - pad_above + 0.5) * (
         ctx.v_radians / ctx.strip_h
     )
+    if full_sphere:
+        # the same linear phi sweep continued into the polar caps (the
+        # renderer pads the side band then composites the fisheyes on the
+        # identical row->phi mapping); clamp at the mathematical poles
+        phi = np.clip(phi, -np.pi / 2.0, np.pi / 2.0)
 
     ph, th = np.meshgrid(phi, theta, indexing="ij")
     unit = np.stack(
@@ -119,6 +125,7 @@ def render_equirect_reference(
         axis=-1,
     )
     rgb = env_fn(unit)
-    valid = (y >= pad_above) & (y < pad_above + ctx.strip_h)
-    rgb = rgb * valid[:, None, None]
+    if not full_sphere:
+        valid = (y >= pad_above) & (y < pad_above + ctx.strip_h)
+        rgb = rgb * valid[:, None, None]
     return np.moveaxis(rgb, -1, 0).astype(np.float32)

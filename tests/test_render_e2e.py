@@ -121,6 +121,12 @@ class TestFullSphereRender:
         band = slice(pad + 6, pad + ctx.strip_h - 6)
         p = psnr(left[:, band], expect[:, band])
         assert p > 25.0, f"full render side-band PSNR: {p:.1f} dB"
+        # the polar caps must also match the analytic environment: the
+        # reference's linear phi sweep continued past the side band
+        # (full_sphere=True) covers the fisheye composites
+        expect_fs = render_equirect_reference(ctx, full_sphere=True)
+        p_fs = psnr(left[:, 4:-4], np.asarray(expect_fs)[:, 4:-4])
+        assert p_fs > 33.0, f"full-sphere PSNR: {p_fs:.1f} dB"
 
     def test_staged_renderer_matches_monolithic(self, rig, views):
         """The preset-scale staged driver (sequential jitted stages) must
