@@ -17,7 +17,12 @@ import time
 import numpy as np
 
 from ..geometry.rig import load_rig
-from ..render.panorama import RenderConfig, build_render_context, render_frame
+from ..render.panorama import (
+    RenderConfig,
+    build_render_context,
+    make_jitted_renderer,
+    render_frame,
+)
 from .common import log, read_image_rgba, setup_logging, write_image
 
 QUALITY_PRESETS = {
@@ -52,6 +57,18 @@ def render_video(
     rig = load_rig(rig_json)
     ctx = build_render_context(rig, config)
     os.makedirs(os.path.join(output_dir, "eqr_frames"), exist_ok=True)
+
+    # jitted whole-frame renderers (staged automatically at preset scale,
+    # warp tables as device args); the eager render_frame path is kept
+    # only for --save_debug_images, which needs the intermediates
+    renderers: dict[bool, object] = {}
+
+    def jitted(use_temporal: bool):
+        if use_temporal not in renderers:
+            renderers[use_temporal] = make_jitted_renderer(
+                ctx, use_temporal=use_temporal
+            )
+        return renderers[use_temporal]
 
     state = None
     if resume_state:
@@ -133,15 +150,20 @@ def render_video(
                 "%s", format_breakdown(stage_breakdown(ctx, side, top, bottom))
             )
 
-        outputs, state = render_frame(
-            ctx,
-            side,
-            top,
-            bottom,
-            state=state,
-            use_temporal=state is not None,
-            save_debug=save_debug_images,
-        )
+        if save_debug_images:
+            outputs, state = render_frame(
+                ctx,
+                side,
+                top,
+                bottom,
+                state=state,
+                use_temporal=state is not None,
+                save_debug=True,
+            )
+        else:
+            outputs, state = jitted(state is not None)(
+                side, top, bottom, state
+            )
         if save_debug_images and "debug" in outputs:
             dbg_dir = os.path.join(output_dir, "debug", frame_name)
             os.makedirs(dbg_dir, exist_ok=True)
