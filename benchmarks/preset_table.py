@@ -32,7 +32,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from surround360_tpu.capture import render_camera_views
-    from surround360_tpu.cli.render_video import QUALITY_PRESETS
+    from surround360_tpu.cli.render_video import (
+        PRESET_SHARPENING,
+        QUALITY_PRESETS,
+    )
     from surround360_tpu.geometry.rig import make_ring_rig
     from surround360_tpu.render.panorama import (
         RenderConfig,
@@ -61,6 +64,7 @@ def main():
             eqr_height=eqr_h,
             final_eqr_width=fin_w,
             final_eqr_height=fin_h,
+            sharpening=PRESET_SHARPENING,
             side_flow_alg="pixflow_tpu",
             polar_flow_alg="pixflow_tpu",
             enable_top=True,

@@ -27,13 +27,18 @@ from .common import log, read_image_rgba, setup_logging, write_image
 
 QUALITY_PRESETS = {
     # name -> (eqr_width, eqr_height, final_width, final_height)
-    # (batch_process_video.py:176-199)
+    # (batch_process_video.py:176-199; final height is per BOTH stacked
+    # eyes, so 6k FINAL_EQR_HEIGHT 3072 -> 6144 stacked)
     "3k": (3080, 1540, 3080, 3080),
     "4k": (4200, 1024, 4096, 2048),
-    "6k": (6300, 3072, 6300, 6144),
+    "6k": (6300, 3072, 6144, 6144),
     "8k": (8400, 4096, 8192, 8192),
     "preview": (1008, 504, 1008, 1008),
 }
+
+# every reference quality preset runs the sharpen stage at 0.25
+# (batch_process_video.py:177,183,189,195 "SHARPENNING": 0.25)
+PRESET_SHARPENING = 0.25
 
 
 def render_video(
@@ -235,7 +240,11 @@ def main(argv=None):
     p.add_argument("--quality", default="preview", choices=QUALITY_PRESETS)
     p.add_argument("--interpupilary_dist", type=float, default=6.4)
     p.add_argument("--zero_parallax_dist", type=float, default=10000.0)
-    p.add_argument("--sharpening", type=float, default=0.0)
+    p.add_argument(
+        "--sharpening", type=float, default=PRESET_SHARPENING,
+        help="unsharp amount; the reference sets 0.25 for every quality "
+        "preset (batch_process_video.py:176-199)",
+    )
     p.add_argument("--enable_top", action="store_true")
     p.add_argument("--enable_bottom", action="store_true")
     p.add_argument("--enable_pole_removal", action="store_true")

@@ -14,7 +14,12 @@ import subprocess
 import time
 
 from .common import log, setup_logging
-from .render_video import QUALITY_PRESETS, RenderConfig, render_video
+from .render_video import (
+    PRESET_SHARPENING,
+    QUALITY_PRESETS,
+    RenderConfig,
+    render_video,
+)
 from .unpack import unpack
 
 FFMPEG_FINAL = (
@@ -114,7 +119,7 @@ def main(argv=None):
     p.add_argument("--quality", default="preview", choices=QUALITY_PRESETS)
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--frame_count", type=int, default=1)
-    p.add_argument("--sharpening", type=float, default=0.0)
+    p.add_argument("--sharpening", type=float, default=PRESET_SHARPENING)
     p.add_argument("--enable_top", action="store_true")
     p.add_argument("--enable_bottom", action="store_true")
     p.add_argument("--enable_pole_removal", action="store_true")

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .resize import CONV_MIN_AXIS, conv_separable_1d
+from . import resize
+from .resize import conv_separable_1d
 
 __all__ = [
     "iir_lowpass_2d",
@@ -41,7 +42,10 @@ def _iir_band_matrix(n: int, alpha: float, boundary: str) -> np.ndarray:
     given boundary handling."""
     if alpha <= 0:
         return np.eye(n, dtype=np.float32)
-    radius = int(min(n, np.ceil(np.log(1e-7) / np.log(alpha))))
+    # capped at n - 1 so the truncated kernel + single-fold reflect is
+    # representable by jnp.pad in the conv fast path (ADVICE r2: radii
+    # beyond the axis made the two paths diverge on narrow strips)
+    radius = int(min(n - 1, np.ceil(np.log(1e-7) / np.log(alpha))))
     xs = np.arange(-radius, radius + 1)
     # (1-a)a^n u[n] conv (1-a)a^-n u[-n] = (1-a)^2/(1-a^2) * a^|m|;
     # normalized to unit DC gain below, so the scale factor drops out
@@ -75,16 +79,21 @@ def iir_lowpass_2d(
     alpha = float(amount) ** 0.25
     H, W = img.shape[-2:]
     img = jnp.asarray(img, jnp.float32)
-    if max(H, W) >= CONV_MIN_AXIS and alpha > 0:
+    if max(H, W) >= resize.CONV_MIN_AXIS and alpha > 0:
         # large axes: the (n, n) band matrix is an O(n^2/4)-byte program
         # constant and O(n^2) FLOPs; the truncated two-sided kernel as a
-        # depthwise conv is O(K n) with no constant (identical values)
-        radius = int(min(max(H, W), np.ceil(np.log(1e-7) / np.log(alpha))))
-        xs = np.arange(-radius, radius + 1)
-        k = alpha ** np.abs(xs)
-        k = k / k.sum()
-        out = conv_separable_1d(img, k, v_boundary, -2)
-        return conv_separable_1d(out, k, h_boundary, -1)
+        # depthwise conv is O(K n) with no constant (identical values).
+        # The radius is capped PER AXIS at n - 1: beyond that jnp.pad's
+        # repeated reflection diverges from the band matrix's single-fold
+        # reflect (the conv and matrix paths must agree for any axis)
+        def axis_kernel(n):
+            radius = int(min(n - 1, np.ceil(np.log(1e-7) / np.log(alpha))))
+            xs = np.arange(-radius, radius + 1)
+            k = alpha ** np.abs(xs)
+            return k / k.sum()
+
+        out = conv_separable_1d(img, axis_kernel(H), v_boundary, -2)
+        return conv_separable_1d(out, axis_kernel(W), h_boundary, -1)
     rm = jnp.asarray(_iir_band_matrix(H, alpha, v_boundary))
     cm = jnp.asarray(_iir_band_matrix(W, alpha, h_boundary))
     out = jnp.einsum("oh,...hw->...ow", rm, img, precision="float32")

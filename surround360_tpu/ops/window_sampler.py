@@ -503,7 +503,9 @@ def sample_windows_sliced(img, plan: WindowPlan, x, y, precision="float32"):
             yt_[None], ty_[None], p.H, p.bh,
             p.tr if p.nty > 1 else 0, p.pad_y, p,
         )
-        if p.bh > p.bw:
+        # same order heuristic as sample_windows so the two memory
+        # strategies differ only in window materialization
+        if p.bh > p.bw and p.bh >= 512:
             tmp = jnp.einsum(
                 "t...ph,t...chw->t...cpw", ohy, win[None],
                 precision=precision,
@@ -559,6 +561,7 @@ def sample_displaced(
     tile_chunk: int = 0,
     max_window_elems: int = 0,
     max_onehot_elems: int = 128 * 1024 * 1024,
+    precision: str = "float32",
 ):
     """One-shot convenience: build windows + sample. img (..., C, H, W);
     x, y (..., Ho, Wo) absolute source coords with |x - col| <= halo_x,
@@ -593,6 +596,8 @@ def sample_displaced(
         and plan.nty * plan.ntx > 1
         and stack_elems > WINDOW_STACK_SLICED_ELEMS
     ):
-        return sample_windows_sliced(img, plan, x, y)
+        return sample_windows_sliced(img, plan, x, y, precision=precision)
     win = build_windows(img, plan)
-    return sample_windows(win, plan, x, y, tile_chunk=tile_chunk)
+    return sample_windows(
+        win, plan, x, y, tile_chunk=tile_chunk, precision=precision
+    )
