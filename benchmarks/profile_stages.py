@@ -42,6 +42,8 @@ def main():
     cam_scale = float(os.environ.get("S360_PROF_CAM_SCALE", "0.25"))
     reps = int(os.environ.get("S360_PROF_REPS", "5"))
     full_sphere = os.environ.get("S360_PROF_FULL_SPHERE", "1") == "1"
+    side_flow_scale = float(os.environ.get("S360_PROF_SIDE_FLOW_SCALE", "1.0"))
+    polar_flow_scale = float(os.environ.get("S360_PROF_POLAR_FLOW_SCALE", "0.5"))
     eqr_h = eqr_w // 2
 
     rig = make_ring_rig().rescaled(cam_scale)
@@ -50,6 +52,8 @@ def main():
         eqr_height=eqr_h,
         side_flow_alg="pixflow_tpu",
         polar_flow_alg="pixflow_tpu",
+        side_flow_scale=side_flow_scale,
+        polar_flow_scale=polar_flow_scale,
         enable_top=full_sphere,
         enable_bottom=full_sphere,
     )
@@ -63,10 +67,11 @@ def main():
         jnp.asarray(views[rig.bottom_camera_index]) if full_sphere else None
     )
 
-    results = stage_breakdown(ctx, side, top, bottom, reps=reps)
+    results, costs = stage_breakdown(ctx, side, top, bottom, reps=reps)
     print(f"\n== stage breakdown @ {eqr_w}x{eqr_h}/eye, cams x{cam_scale} ==")
-    print(format_breakdown(results))
+    print(format_breakdown(results, costs))
     print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
+    print(json.dumps({k: [round(x, 2) for x in v] for k, v in costs.items()}))
 
 
 if __name__ == "__main__":

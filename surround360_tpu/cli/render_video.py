@@ -152,7 +152,7 @@ def render_video(
             from ..render.profiling import format_breakdown, stage_breakdown
 
             log.info(
-                "%s", format_breakdown(stage_breakdown(ctx, side, top, bottom))
+                "%s", format_breakdown(*stage_breakdown(ctx, side, top, bottom))
             )
 
         if save_debug_images:

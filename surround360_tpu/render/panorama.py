@@ -78,6 +78,14 @@ class RenderConfig:
     side_flow_alg: str = "pixflow_low"
     polar_flow_alg: str = "pixflow_low"
     poleremoval_flow_alg: str = "pixflow_low"
+    # compute the 28 side pair flows on overlaps downscaled by this factor
+    # (mirrors polar_flow_scale): pair flows are smooth disparity fields
+    # and the flow solver already works at downscale 0.5 internally, so
+    # at preset scale a further 0.5 here quarters the dominant side-flow
+    # stage. 1.0 = the reference's geometry
+    # (TestRenderStereoPanorama.cpp:295-385); quality per preset recorded
+    # in BASELINE.md.
+    side_flow_scale: float = 1.0
     # compute the pole-to-side flow on inputs downscaled by this factor
     # (the field is smooth and gets blurred anyway). Measured on chip at
     # 1008/eye: 0.5 saves ~100 ms/frame over 1.0 with a 117 dB pole-band
@@ -301,24 +309,77 @@ def _project_side_cameras(ctx: RenderContext, side_images, warps_dev=None):
     return remap(imgs, coords, interpolation="bicubic", border="constant")
 
 
-def _render_ring(ctx: RenderContext, projections, state, use_temporal):
-    """Pair flows + chunk renders + ring concat
-    (generateRingOfNovelViewsAndRenderStereoSpherical,
-    TestRenderStereoPanorama.cpp:295-385)."""
-    ov = ctx.overlap_w
-    flow_params = make_flow_params(ctx.config.side_flow_alg)
-    overlap_l = projections[..., ctx.strip_w - ov :]
-    overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
+def _side_pair_flows(ctx: RenderContext, overlap_l, overlap_r, state, use_temporal):
+    """The 28 pair flows + their temporal state, with optional
+    side_flow_scale downscaling (flow inputs shrunk by resize_area, the
+    field upsampled back and rescaled per axis).
+
+    The temporal state is stored at the solver's WORKING resolution
+    (input * downscale_factor): compute_flow's first act on every prev_*
+    entry is a resize_cubic to exactly that size (pixflow.py:742-751), so
+    storing the already-resized copies is mathematically identical (the
+    next frame's resize becomes the identity) while shrinking the ring
+    state 4x at scale 1.0 and 16x at 0.5 — the difference between a 6k
+    frame chain fitting in 15.75 GB HBM or not. Flow values are stored in
+    the units of their own stored resolution, matching compute_flow's
+    `* (dh / prev_flow.shape[-2])` convention."""
+    cfg = ctx.config
+    flow_params = make_flow_params(cfg.side_flow_alg)
+    scale = cfg.side_flow_scale
+    sh, ov = overlap_l.shape[-2:]
+    if scale != 1.0:
+        from ..ops.resize import resize_area
+
+        fh, fw = int(sh * scale), int(ov * scale)
+        in_l = resize_area(overlap_l, (fh, fw))
+        in_r = resize_area(overlap_r, (fh, fw))
+    else:
+        fh, fw = sh, ov
+        in_l, in_r = overlap_l, overlap_r
 
     flow_ltr, flow_rtl = prepare_pair_flows(
-        overlap_l,
-        overlap_r,
+        in_l,
+        in_r,
         flow_params,
         prev_flow_l_to_r=state.get("pair_flow_ltr"),
         prev_flow_r_to_l=state.get("pair_flow_rtl"),
         prev_overlap_l=state.get("prev_overlap_l"),
         prev_overlap_r=state.get("prev_overlap_r"),
         use_temporal=use_temporal,
+    )
+
+    # state at the solver's working resolution (see docstring)
+    dsf = flow_params.downscale_factor
+    dh, dw = int(fh * dsf), int(fw * dsf)
+    unit = dh / fh
+    new_state = {
+        "pair_flow_ltr": resize_cubic(flow_ltr, (dh, dw)) * unit,
+        "pair_flow_rtl": resize_cubic(flow_rtl, (dh, dw)) * unit,
+        "prev_overlap_l": resize_cubic(in_l, (dh, dw)),
+        "prev_overlap_r": resize_cubic(in_r, (dh, dw)),
+    }
+
+    if scale != 1.0:
+        from ..ops.resize import resize_bilinear
+
+        axis_scale = jnp.asarray(
+            [ov / fw, sh / fh], jnp.float32
+        ).reshape(1, 2, 1, 1)
+        flow_ltr = resize_bilinear(flow_ltr, (sh, ov)) * axis_scale
+        flow_rtl = resize_bilinear(flow_rtl, (sh, ov)) * axis_scale
+    return flow_ltr, flow_rtl, new_state
+
+
+def _render_ring(ctx: RenderContext, projections, state, use_temporal):
+    """Pair flows + chunk renders + ring concat
+    (generateRingOfNovelViewsAndRenderStereoSpherical,
+    TestRenderStereoPanorama.cpp:295-385)."""
+    ov = ctx.overlap_w
+    overlap_l = projections[..., ctx.strip_w - ov :]
+    overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
+
+    flow_ltr, flow_rtl, ring_state = _side_pair_flows(
+        ctx, overlap_l, overlap_r, state, use_temporal
     )
 
     chunks_l, chunks_r = render_chunk_pair(
@@ -335,14 +396,7 @@ def _render_ring(ctx: RenderContext, projections, state, use_temporal):
     pano_r = stack_horizontal([chunks_r[i] for i in range(chunks_r.shape[0])])
     pano_l = offset_horizontal_wrap(pano_l, ctx.zero_parallax_shift_px)
     pano_r = offset_horizontal_wrap(pano_r, -ctx.zero_parallax_shift_px)
-
-    new_state = {
-        "pair_flow_ltr": flow_ltr,
-        "pair_flow_rtl": flow_rtl,
-        "prev_overlap_l": overlap_l,
-        "prev_overlap_r": overlap_r,
-    }
-    return pano_l, pano_r, new_state
+    return pano_l, pano_r, ring_state
 
 
 def _pad_to_height(img, target_h: int):
@@ -769,25 +823,11 @@ def make_jitted_renderer(
     @jax.jit
     def flow_stage(projections, state):
         ov = ctx.overlap_w
-        flow_params = make_flow_params(cfg.side_flow_alg)
         overlap_l = projections[..., ctx.strip_w - ov :]
         overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
-        flow_ltr, flow_rtl = prepare_pair_flows(
-            overlap_l,
-            overlap_r,
-            flow_params,
-            prev_flow_l_to_r=state.get("pair_flow_ltr"),
-            prev_flow_r_to_l=state.get("pair_flow_rtl"),
-            prev_overlap_l=state.get("prev_overlap_l"),
-            prev_overlap_r=state.get("prev_overlap_r"),
-            use_temporal=use_temporal,
+        flow_ltr, flow_rtl, ring_state = _side_pair_flows(
+            ctx, overlap_l, overlap_r, state, use_temporal
         )
-        ring_state = {
-            "pair_flow_ltr": flow_ltr,
-            "pair_flow_rtl": flow_rtl,
-            "prev_overlap_l": overlap_l,
-            "prev_overlap_r": overlap_r,
-        }
         return overlap_l, overlap_r, flow_ltr, flow_rtl, ring_state
 
     @jax.jit

@@ -12,7 +12,7 @@ import numpy as np
 
 from ..flow import HINT_DOWN, compute_flow
 from ..ops.compositing import circle_alpha_cut, cut_mask_out_of_alpha, feather_alpha
-from ..ops.remap import remap
+from ..ops.window_sampler import sample_displaced
 
 __all__ = ["combine_bottom_images_with_pole_removal"]
 
@@ -62,15 +62,32 @@ def combine_bottom_images_with_pole_removal(
         use_temporal=use_temporal,
     )[0]
 
-    # warp secondary by the flow (PoleRemoval.cpp:130-146)
+    # warp secondary by the flow (PoleRemoval.cpp:130-146). The flow is a
+    # blurred inter-bottom-camera alignment field, so it is smooth and
+    # physically bounded by the two cameras' baseline parallax: clamp it
+    # to 10%-of-frame halos and sample static windows instead of the
+    # full-extent dense one-hot remap (the round-1 path, whose stage-A
+    # cost grows cubically and lowers gathers to a scalar loop on TPU)
     H, W = img1.shape[-2:]
     gy, gx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32),
         jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    coords = jnp.stack([gx + flow[0], gy + flow[1]], axis=0)
-    warped2 = remap(img2, coords, interpolation="bicubic", border="constant")
+    halo_y = max(32, int(0.10 * H))
+    halo_x = max(32, int(0.10 * W))
+    warped2 = sample_displaced(
+        img2,
+        gx + jnp.clip(flow[0], -halo_x, halo_x),
+        gy + jnp.clip(flow[1], -halo_y, halo_y),
+        halo_y=halo_y,
+        halo_x=halo_x,
+        interpolation="bicubic",
+        border="constant",
+        tr=16,
+        tc=128,
+        max_window_elems=64 * 1024 * 1024,
+    )
 
     # blend where primary alpha < 1 and secondary has data
     # (PoleRemoval.cpp:155-179)

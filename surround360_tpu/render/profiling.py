@@ -1,4 +1,5 @@
-"""Per-stage device-time breakdown of the frame pipeline.
+"""Per-stage device-time breakdown + roofline accounting of the frame
+pipeline.
 
 The reference logs a per-frame stage table (projection / side flow /
 novel view / pole flow / sharpen — TestRenderStereoPanorama.cpp:963-971).
@@ -7,6 +8,17 @@ read off the fused run; instead each stage is jitted and timed in
 isolation on representative inputs, and the measured per-dispatch floor
 of the platform is subtracted. Wired into cli/render_video via
 --profile_stages and driven standalone by benchmarks/profile_stages.py.
+
+Roofline: each stage's compiled program is asked for XLA's own cost
+analysis (algorithmic FLOPs + bytes touched); dividing by measured device
+time gives achieved TFLOP/s and GB/s, reported as fractions of the v5e
+peaks. A stage near the HBM fraction is bandwidth-bound (fuse more /
+shrink transients); one near the MXU fraction is compute-bound (the
+formulation's arithmetic is the ceiling — e.g. the one-hot window
+contraction pays bh*bw MACs per sampled pixel). f32 einsums emulated by
+multi-pass bf16 show inflated apparent MXU fractions are NOT possible:
+XLA counts algorithmic FLOPs once, so an exact-f32 stage at "33% of bf16
+peak" is actually saturating the MXU's 3-pass f32 rate.
 """
 
 from __future__ import annotations
@@ -14,6 +26,10 @@ from __future__ import annotations
 import time
 
 import numpy as np
+
+# TPU v5e (1 chip) peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBS = 819.0
 
 
 def _sync(x):
@@ -33,35 +49,64 @@ def _time(fn, *args, reps=5):
     return (time.time() - t0) / reps, out
 
 
+def _cost(fn, *args):
+    """XLA's cost analysis for the compiled program: (GFLOP, GiB) or
+    None when the backend doesn't expose it."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (
+            float(ca.get("flops", 0.0)) / 1e9,
+            float(ca.get("bytes accessed", 0.0)) / 2**30,
+        )
+    except Exception:  # noqa: BLE001 - experimental backends may lack it
+        return None
+
+
 def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
     """Time each pipeline stage in isolation on the given frame inputs.
 
-    Returns {stage: seconds} including 'dispatch_floor' (subtract it for
-    device time) and 'full_frame'. Stages log as they complete so a
-    failing stage still leaves the earlier measurements on record."""
+    Returns (times, costs): {stage: seconds} including 'dispatch_floor'
+    (subtract it for device time) and 'full_frame', and {stage: (gflop,
+    gib)} where XLA exposes cost analysis. Stages log as they complete so
+    a failing stage still leaves the earlier measurements on record."""
     import logging
 
     import jax
     import jax.numpy as jnp
 
-    from ..flow import make_flow_params
-    from ..views.novel_view import prepare_pair_flows, render_chunk_pair
+    from ..flow import HINT_DOWN, compute_flow, make_flow_params
+    from ..ops.compositing import feather_alpha
+    from ..views.novel_view import render_chunk_pair
     from .panorama import (
         _pad_to_height,
         _pole_to_side_flow,
         _prepare_fisheye_strip,
         _project_side_cameras,
         _render_ring,
+        _side_pair_flows,
         render_frame,
     )
 
     log = logging.getLogger(__name__)
     cfg = ctx.config
     results = {}
+    costs = {}
 
-    def record(name, value):
+    def record(name, value, fn=None, args=()):
         results[name] = value
-        log.warning("stage %s: %.1f ms", name, value * 1e3)
+        c = _cost(fn, *args) if fn is not None else None
+        if c is not None:
+            costs[name] = c
+        log.warning(
+            "stage %s: %.1f ms%s",
+            name,
+            value * 1e3,
+            ""
+            if c is None
+            else f"  ({c[0] / 1e3:.2f} TFLOP, {c[1]:.2f} GiB)",
+        )
 
     # warp tables enter every staged program as arguments, matching
     # make_jitted_renderer (constants overflow the compile service at 6k+)
@@ -88,17 +133,18 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
         lambda s, w: _project_side_cameras(ctx, s, warps_dev=w)
     )
     t, projections = _time(proj_fn, side, side_warps_dev, reps=reps)
-    record("projection", t)
+    record("projection", t, proj_fn, (side, side_warps_dev))
 
     ov = ctx.overlap_w
-    flow_params = make_flow_params(cfg.side_flow_alg)
     overlap_l = projections[..., ctx.strip_w - ov:]
     overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
-    flows_fn = jax.jit(lambda l, r: prepare_pair_flows(l, r, flow_params))
+    flows_fn = jax.jit(
+        lambda l, r: _side_pair_flows(ctx, l, r, {}, False)[:2]
+    )
     t, (flow_ltr, flow_rtl) = _time(
         flows_fn, overlap_l, overlap_r, reps=reps
     )
-    record("side_flow", t)
+    record("side_flow", t, flows_fn, (overlap_l, overlap_r))
 
     chunks_fn = jax.jit(
         lambda l, r, fl, fr: render_chunk_pair(
@@ -108,7 +154,9 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
     t, _ = _time(
         chunks_fn, overlap_l, overlap_r, flow_ltr, flow_rtl, reps=reps
     )
-    record("novel_view", t)
+    record(
+        "novel_view", t, chunks_fn, (overlap_l, overlap_r, flow_ltr, flow_rtl)
+    )
 
     ring_fn = jax.jit(
         lambda s, w: _render_ring(
@@ -116,7 +164,7 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
         )[:2]
     )
     t, (pano_l, pano_r) = _time(ring_fn, side, side_warps_dev, reps=reps)
-    record("ring_total", t)
+    record("ring_total", t, ring_fn, (side, side_warps_dev))
 
     if cfg.enable_top and top is not None:
         pano2 = jnp.stack([
@@ -130,12 +178,48 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
             )
         )
         t, top_strip = _time(strip_fn, top, top_warp_dev, reps=reps)
-        record("fisheye_strip", t)
+        record("fisheye_strip", t, strip_fn, (top, top_warp_dev))
+
+        # pole sub-stage: just the pole-to-side flow solve (same input
+        # prep as _pole_to_side_flow, panorama.py:391-454), so the
+        # composite splits into flow vs warp+blend
+        rows_f, eqr_w = top_strip.shape[-2:]
+        ext_w = int(eqr_w * 1.2)
+        xs_ext = np.arange(ext_w) % eqr_w
+        flow_params = make_flow_params(cfg.polar_flow_alg)._replace(
+            window_halo_y_frac=0.30, window_halo_x_frac=0.10
+        )
+        pscale = cfg.polar_flow_scale
+
+        def pole_flow_only(p2, f):
+            cropped = feather_alpha(
+                p2[..., :rows_f, :], cfg.std_alpha_feather_size
+            )
+            ext_side = cropped[..., xs_ext]
+            ext_fish = jnp.broadcast_to(
+                f[None, ..., xs_ext], (2,) + f.shape[:-1] + (ext_w,)
+            )
+            hints = jnp.full((2,), HINT_DOWN, jnp.int32)
+            if pscale != 1.0:
+                from ..ops.resize import resize_area
+
+                fh, fw = int(rows_f * pscale), int(ext_w * pscale)
+                ext_side = resize_area(ext_side, (fh, fw))
+                ext_fish = resize_area(ext_fish, (fh, fw))
+            return compute_flow(ext_side, ext_fish, flow_params, hint=hints)
+
+        pole_flow_fn = jax.jit(pole_flow_only)
+        t, _ = _time(pole_flow_fn, pano2, top_strip, reps=reps)
+        record("pole_flow_solve", t, pole_flow_fn, (pano2, top_strip))
+
         pole_fn = jax.jit(
             lambda p2, f: _pole_to_side_flow(ctx, p2, f, "top", {}, False)[0]
         )
         t, _ = _time(pole_fn, pano2, top_strip, reps=reps)
-        record("pole_flow_composite_one", t)
+        record("pole_flow_composite_one", t, pole_fn, (pano2, top_strip))
+        results["pole_warp_blend"] = max(
+            0.0, results["pole_flow_composite_one"] - results["pole_flow_solve"]
+        )
 
     frame_fn = jax.jit(
         lambda s, t, b, w: render_frame(ctx, s, t, b, device_warps=w)[0][
@@ -143,14 +227,32 @@ def stage_breakdown(ctx, side, top=None, bottom=None, reps: int = 5):
         ]
     )
     t, _ = _time(frame_fn, side, top, bottom, dw, reps=reps)
-    record("full_frame", t)
-    return results
+    record("full_frame", t, frame_fn, (side, top, bottom, dw))
+    return results, costs
 
 
-def format_breakdown(results: dict) -> str:
+def format_breakdown(results: dict, costs: dict | None = None) -> str:
+    costs = costs or {}
     floor = results.get("dispatch_floor", 0.0)
-    lines = ["stage breakdown (isolated jits; -floor = device time):"]
+    lines = [
+        "stage breakdown (isolated jits; -floor = device time; roofline "
+        f"vs v5e peaks {V5E_PEAK_BF16_TFLOPS:.0f} TF/s bf16, "
+        f"{V5E_PEAK_HBM_GBS:.0f} GB/s HBM):"
+    ]
     for k, v in results.items():
         adj = v - floor if k != "dispatch_floor" else v
-        lines.append(f"  {k:28s} {v * 1e3:9.1f} ms   (-floor {adj * 1e3:9.1f} ms)")
+        line = f"  {k:28s} {v * 1e3:9.1f} ms   (-floor {adj * 1e3:9.1f} ms)"
+        if k in costs and adj > 0:
+            gflop, gib = costs[k]
+            tflops = gflop / 1e3 / adj
+            gbs = gib * 1.0737 / adj  # GiB -> GB
+            fc = tflops / V5E_PEAK_BF16_TFLOPS
+            fb = gbs / V5E_PEAK_HBM_GBS
+            bound = "compute" if fc >= fb else "bandwidth"
+            line += (
+                f"  {gflop / 1e3:7.2f} TFLOP {tflops:6.1f} TF/s"
+                f" ({fc * 100:4.1f}%mxu) {gbs:6.1f} GB/s"
+                f" ({fb * 100:4.1f}%hbm) [{bound}-bound]"
+            )
+        lines.append(line)
     return "\n".join(lines)
