@@ -1,8 +1,10 @@
-"""Test harness: run everything on a virtual 8-device CPU mesh.
+"""Test harness: run everything on a virtual multi-device CPU mesh.
 
 Multi-chip TPU hardware is unavailable in CI; sharding correctness is
-validated on XLA's host platform with 8 virtual devices, per the project
-environment contract."""
+validated on XLA's host platform with virtual devices, per the project
+environment contract. 14 devices (not 8) so the camera-ring shardings the
+hardware would use — ring=7 and ring=14 over the 14 side cameras — are
+exercised for real, not just ring=2."""
 
 import os
 
@@ -10,7 +12,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=14"
     ).strip()
 
 import jax  # noqa: E402
