@@ -55,6 +55,7 @@ __all__ = [
     "sample_windows",
     "sample_windows_sliced",
     "sample_displaced",
+    "sample_displaced_residual",
     "sampler_tile_chunk",
 ]
 
@@ -540,6 +541,201 @@ def sample_windows_sliced(img, plan: WindowPlan, x, y, precision="float32"):
     if ne:
         out = out.reshape(extra_shape + out.shape[1:])
     return out
+
+
+def sample_displaced_residual(
+    img,
+    x,
+    y,
+    halo_y: int,
+    halo_x: int,
+    res_halo_y: int,
+    res_halo_x: int,
+    interpolation: str = "bilinear",
+    border: str = "clamp",
+    tr: int = 8,
+    tc: int = 128,
+    group: int = 32,
+    precision: str = "float32",
+    backend: str = "auto",
+):
+    """Displacement-FOLLOWING windows: each tile's window origin tracks
+    the tile's mean displacement (rounded, traced, applied with
+    ``lax.dynamic_slice``), so the window only needs to cover the
+    within-tile displacement SPREAD (``res_halo_*``) plus the
+    interpolation margin — not the global displacement bound
+    (``halo_*``), which only sizes the source padding.
+
+    For the pipeline's smooth fields (sigma-8-blurred flows, ramped pole
+    warps) the spread is tens of pixels while the bound is hundreds: the
+    per-output-pixel contraction cost C*BH*BW drops by the window-area
+    ratio (~10x at the 6k pole composite), and the whole sampler runs as
+    a short ``lax.map`` over GROUPS of tiles with one batched einsum pair
+    per group instead of per-tile programs.
+
+    Contract: taps whose displacement deviates more than ``res_halo``
+    from the tile mean fall outside the window — weight 0 under
+    border="constant" / dropped taps under "clamp" — the same beyond-halo
+    behavior as the static sampler. Callers size ``res_halo_*`` from the
+    field's physical smoothness (flow blur sigma, warp-ramp slope x tile
+    extent).
+
+    img (..., C, H, W); x, y (..., Ho, Wo) absolute source coords sharing
+    img's leading dims (no candidate extras). Returns (..., C, Ho, Wo).
+    Reference provenance: same math as PixFlow.h:493-534 sampling /
+    cv::remap call sites; this is purely an access-pattern change.
+    """
+    p = plan_windows(
+        img.shape[-2:], x.shape[-2:], res_halo_y, res_halo_x,
+        interpolation, border, tr, tc,
+    )
+    if p.nty == 1 and p.ntx == 1:
+        # degenerate: one window spans the source; no origins to follow
+        win = build_windows(img, p)
+        return sample_windows(win, p, x, y, precision=precision)
+    m = 2 if interpolation == "bicubic" else 1
+    res_ey, res_ex = res_halo_y + m, res_halo_x + m
+    P_y, P_x = halo_y + m, halo_x + m
+
+    lead = img.shape[:-2]  # includes channels
+    nl = len(lead)
+    n_lead_c = nl - 1  # coord lead dims (no channel)
+    if x.ndim - 2 != n_lead_c:
+        raise ValueError(
+            "sample_displaced_residual: coords must share img's lead dims"
+        )
+    L = int(np.prod(lead[:-1], dtype=np.int64)) if n_lead_c else 1
+    C = lead[-1]
+    H, W = img.shape[-2:]
+
+    # pad by the GLOBAL halos; extra tail so the farthest clamped origin's
+    # window stays in bounds
+    s_max_y = (p.nty - 1) * p.tr + (P_y - res_ey) + halo_y
+    s_max_x = (p.ntx - 1) * p.tc + (P_x - res_ex) + halo_x
+    pad_y_hi = max(P_y, s_max_y + p.bh - (P_y + H))
+    pad_x_hi = max(P_x, s_max_x + p.bw - (P_x + W))
+    padded = jnp.pad(
+        img.reshape((L, C, H, W)),
+        [(0, 0), (0, 0), (P_y, pad_y_hi), (P_x, pad_x_hi)],
+    )
+    Hp, Wp = padded.shape[-2:]
+
+    T = p.nty * p.ntx
+    tiles = np.arange(T)
+    ty = jnp.asarray(tiles // p.ntx, jnp.int32)
+    tx = jnp.asarray(tiles % p.ntx, jnp.int32)
+
+    xt = _tile_coords(x, p).reshape((T, L, p.tr * p.tc))
+    yt = _tile_coords(y, p).reshape((T, L, p.tr * p.tc))
+
+    # per-(tile, lead) mean displacement -> rounded window origin in
+    # padded coords, clamped so the static-size dynamic slice stays in
+    # bounds (at the edges the clamp only drops coverage that border
+    # handling would clamp/zero anyway)
+    base_y = (ty * p.tr).astype(jnp.float32) + (p.tr - 1) / 2.0
+    base_x = (tx * p.tc).astype(jnp.float32) + (p.tc - 1) / 2.0
+    d_y = jnp.round(yt.mean(axis=-1) - base_y[:, None])  # (T, L)
+    d_x = jnp.round(xt.mean(axis=-1) - base_x[:, None])
+    d_y = jnp.clip(d_y, -halo_y, halo_y).astype(jnp.int32)
+    d_x = jnp.clip(d_x, -halo_x, halo_x).astype(jnp.int32)
+    s_y = jnp.clip(ty[:, None] * p.tr + (P_y - res_ey) + d_y, 0, Hp - p.bh)
+    s_x = jnp.clip(tx[:, None] * p.tc + (P_x - res_ex) + d_x, 0, Wp - p.bw)
+    # an axis whose single window already spans the whole source must NOT
+    # follow displacement: any origin shift would slide real pixels out of
+    # the source-sized window (plan_windows pins bh/bw = n_src there)
+    if p.nty == 1:
+        s_y = jnp.full_like(s_y, P_y)
+    if p.ntx == 1:
+        s_x = jnp.full_like(s_x, P_x)
+
+    if backend != "xla" and precision == "float32":
+        # fused Pallas kernel: window DMA + one-hots + both contractions
+        # stay in VMEM (no HBM stage temps). Kernel windows are padded to
+        # hardware tiling (bh mult 8, bw mult 128) with matching extra
+        # source padding, so the same clamped origins stay in bounds.
+        from .pallas_remap import fused_window_sample, pallas_window_supported
+
+        # DMA slice starts must sit on the (8, 128) memref tiling:
+        # quantize origins DOWN and grow windows by the quantization slack
+        bh_k = -(-(p.bh + 7) // 8) * 8
+        bw_k = -(-(p.bw + 127) // 128) * 128
+        ok = pallas_window_supported(C, p.tr * p.tc, bh_k, bw_k, L)
+        if backend == "pallas" or (
+            ok and jax.default_backend() == "tpu"
+        ):
+            padded_k = jnp.pad(
+                padded,
+                [(0, 0), (0, 0), (0, bh_k - p.bh), (0, bw_k - p.bw)],
+            )
+            out = fused_window_sample(
+                padded_k,
+                (s_y // 8) * 8,
+                (s_x // 128) * 128,
+                xt + float(P_x),
+                yt + float(P_y),
+                bh=bh_k,
+                bw=bw_k,
+                pad_y=P_y,
+                pad_x=P_x,
+                n_y=H,
+                n_x=W,
+                interpolation=interpolation,
+                border=border,
+            )  # (T, L, C, P)
+            out = out.reshape((p.nty, p.ntx, L * C, p.tr, p.tc))
+            out = out.transpose((2, 0, 3, 1, 4))
+            out = out.reshape((L * C, p.nty * p.tr, p.ntx * p.tc))
+            out = out[..., : p.Ho, : p.Wo]
+            return out.reshape(lead + (p.Ho, p.Wo))
+
+    g = max(1, min(group, T))
+    g = max(d for d in range(1, g + 1) if T % d == 0)
+    n = T // g
+    grp = lambda a: a.reshape((n, g) + a.shape[1:])
+
+    def body(args):
+        xt_, yt_, sy_, sx_ = args  # (g, L, Pt), (g, L)
+        wins = []
+        for i in range(g):
+            per_lead = [
+                jax.lax.dynamic_slice(
+                    padded[l], (0, sy_[i, l], sx_[i, l]), (C, p.bh, p.bw)
+                )
+                for l in range(L)
+            ]
+            wins.append(jnp.stack(per_lead))
+        win = jnp.stack(wins)  # (g, L, C, bh, bw)
+        # one-hot origins are the traced per-(tile, lead) window starts in
+        # padded coords: fold (g, L) into the sampler's tile axis so
+        # tile_stride=1 turns each entry into a direct origin
+        ohx = _onehot_axis(
+            xt_.reshape((g * L, -1)), sx_.reshape(-1), p.W, p.bw, 1, P_x, p
+        ).reshape((g, L, -1, p.bw))
+        ohy = _onehot_axis(
+            yt_.reshape((g * L, -1)), sy_.reshape(-1), p.H, p.bh, 1, P_y, p
+        ).reshape((g, L, -1, p.bh))
+        if p.bh > p.bw and p.bh >= 512:
+            tmp = jnp.einsum(
+                "tlph,tlchw->tlcpw", ohy, win, precision=precision
+            )
+            return jnp.einsum(
+                "tlpw,tlcpw->tlcp", ohx, tmp, precision=precision
+            )
+        tmp = jnp.einsum(
+            "tlpw,tlchw->tlcph", ohx, win, precision=precision
+        )
+        return jnp.einsum(
+            "tlph,tlcph->tlcp", ohy, tmp, precision=precision
+        )
+
+    out = jax.lax.map(body, (grp(xt), grp(yt), grp(s_y), grp(s_x)))
+    out = out.reshape((T, L * C, p.tr * p.tc))
+    # untile (T, LC, Pt) -> (LC, Ho, Wo)
+    out = out.reshape((p.nty, p.ntx, L * C, p.tr, p.tc))
+    out = out.transpose((2, 0, 3, 1, 4))
+    out = out.reshape((L * C, p.nty * p.tr, p.ntx * p.tc))
+    out = out[..., : p.Ho, : p.Wo]
+    return out.reshape(lead + (p.Ho, p.Wo))
 
 
 # Window-stack elements above which sample_displaced switches to the

@@ -45,7 +45,7 @@ from ..ops.compositing import (
 from ..ops.filters import sharpen_iir
 from ..ops.remap import remap
 from ..ops.resize import resize_cubic
-from ..ops.window_sampler import sample_displaced
+from ..ops.window_sampler import sample_displaced, sample_displaced_residual
 from ..ops.warp import (
     CUBEMAP_FACE_ORDER,
     equirect_to_cubemap_warp,
@@ -261,6 +261,14 @@ def build_render_context(rig: Rig, config: RenderConfig) -> RenderContext:
 # ---------------------------------------------------------------------------
 
 
+# Output width at which dynamic warps switch from static-window sampling
+# to displacement-following residual windows (sample_displaced_residual):
+# below it the global halos are small enough that static windows win on
+# simplicity and measured speed; above it the halo-area arithmetic
+# dominates the frame (round-2 BASELINE.md 6k/8k stage tables).
+RESIDUAL_SAMPLER_MIN_EQR_W = 3000
+
+
 def _banded_chunk_rows(h_out: int) -> int:
     """Row-chunk size for static banded remaps: measured-fast 16 at small
     outputs, growing with resolution to bound the emitted chunk count
@@ -459,10 +467,14 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     cropped = side_pano_2[..., :rows_f, :]
     cropped = feather_alpha(cropped, cfg.std_alpha_feather_size)
 
-    # extend horizontally with wrap (both eyes + the fisheye)
-    xs = np.arange(ext_w) % eqr_w
-    ext_side = cropped[..., xs]
-    ext_fish = jnp.broadcast_to(fisheye[None, ..., xs], (2,) + fisheye.shape[:-1] + (ext_w,))
+    # extend horizontally with wrap (both eyes + the fisheye). ext_w <
+    # 2*eqr_w always (1.2x), so the wrap is a single concat — not an
+    # index gather, which XLA:TPU lowers far worse
+    ext = lambda a: jnp.concatenate([a, a[..., : ext_w - eqr_w]], axis=-1)
+    ext_side = ext(cropped)
+    ext_fish = jnp.broadcast_to(
+        ext(fisheye)[None], (2,) + fisheye.shape[:-1] + (ext_w,)
+    )
 
     # pole-to-side displacement is y-dominant (the fisheye is pulled toward
     # the sides along phi) — swap the banded sampler's halos accordingly
@@ -528,21 +540,44 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     halo_x = max(16, int(0.02 * eqr_w))
     disp_x = jnp.clip(warp_scale * flow[:, 0], -halo_x, halo_x)
     disp_y = jnp.clip(warp_scale * flow[:, 1], -halo_y, halo_y)
-    warped_ext = sample_displaced(
-        ext_fish,
-        gx[None] + disp_x,
-        gy[None] + disp_y,
-        halo_y=halo_y,
-        halo_x=halo_x,
-        interpolation="bicubic",
-        border="constant",
-        tr=16,
-        tc=128,
-        tile_chunk=8,
-        # preset-scale strips: grow tiles + chunk so the window stack and
-        # one-hot transients stay bounded (3k OOM'd at 34G without this)
-        max_window_elems=64 * 1024 * 1024,
-    )
+    if eqr_w >= RESIDUAL_SAMPLER_MIN_EQR_W:
+        # preset scale: displacement-following windows. The global halos
+        # above reach 25% of the strip height, which the static sampler
+        # pays as C*BH*BW arithmetic PER PIXEL (the round-2 8.9 s/pole 6k
+        # stage); the warp field is smooth (sigma-8-blurred flow x a
+        # monotone phi ramp), so per-tile window origins track it and the
+        # residual halos cover only the within-tile spread (ramp slope
+        # ~rows_f/ramp_rows * halo over 8 rows, plus local flow texture).
+        warped_ext = sample_displaced_residual(
+            ext_fish,
+            gx[None] + disp_x,
+            gy[None] + disp_y,
+            halo_y=halo_y,
+            halo_x=halo_x,
+            res_halo_y=max(24, rows_f // 32),
+            res_halo_x=max(16, eqr_w // 256),
+            interpolation="bicubic",
+            border="constant",
+            tr=8,
+            tc=128,
+            group=64,
+        )
+    else:
+        warped_ext = sample_displaced(
+            ext_fish,
+            gx[None] + disp_x,
+            gy[None] + disp_y,
+            halo_y=halo_y,
+            halo_x=halo_x,
+            interpolation="bicubic",
+            border="constant",
+            tr=16,
+            tc=128,
+            tile_chunk=8,
+            # grow tiles + chunk so the window stack and one-hot
+            # transients stay bounded (3k OOM'd at 34G without this)
+            max_window_elems=64 * 1024 * 1024,
+        )
 
     # fold the right extension back onto the left edge
     # (TestRenderStereoPanorama.cpp:505-524)

@@ -29,7 +29,7 @@ import numpy as np
 from ..flow import HINT_LEFT, HINT_RIGHT, compute_flow
 from ..ops.remap import remap
 from ..ops.resize import resize_matrix_cubic  # noqa: F401  (same tap math)
-from ..ops.window_sampler import sample_displaced
+from ..ops.window_sampler import sample_displaced, sample_displaced_residual
 
 __all__ = [
     "lazy_warp_columns",
@@ -40,6 +40,14 @@ __all__ = [
     "generate_novel_view",
     "combine_novel_views",
 ]
+
+
+# Halo sizes above which the lazy render switches to displacement-
+# following residual windows (sample_displaced_residual): below them the
+# static windows are small enough that following origins buys nothing.
+# Module-level so tests can force the residual path at small scales.
+RESIDUAL_MIN_HALO_Y = 64
+RESIDUAL_MIN_HALO_X = 96
 
 
 def lazy_warp_columns(
@@ -117,19 +125,41 @@ def render_lazy_novel_view(
         src_al = src[..., delta_i:]
         halo_x = max(8, int(0.20 * src_al.shape[-1]))
         halo_y = max(8, int(0.10 * H))
-        novel = sample_displaced(
-            src_al,
-            warp_comp_x - delta_i,
-            warp_comp_y,
-            halo_y=halo_y,
-            halo_x=halo_x,
-            interpolation="bicubic",
-            border="constant",
-            tr=8,
-            tc=128,
-            # bound window/one-hot memory at preset-scale chunk widths
-            max_window_elems=64 * 1024 * 1024,
-        )
+        if halo_y > RESIDUAL_MIN_HALO_Y or halo_x > RESIDUAL_MIN_HALO_X:
+            # preset-scale strips: the t*flow warp is smooth (t is a
+            # static per-column ramp, flow is blurred disparity), so
+            # displacement-following windows cover only the within-tile
+            # spread (~ |flow| * tile_cols/chunk_w + local flow texture)
+            # instead of the global 10-20% halos — the arithmetic that
+            # made novel view 2.3-6.3 s/frame at 6k/8k (BASELINE.md)
+            novel = sample_displaced_residual(
+                src_al,
+                warp_comp_x - delta_i,
+                warp_comp_y,
+                halo_y=halo_y,
+                halo_x=halo_x,
+                res_halo_y=min(halo_y, 24),
+                res_halo_x=min(halo_x, 40),
+                interpolation="bicubic",
+                border="constant",
+                tr=8,
+                tc=64,
+                group=32,
+            )
+        else:
+            novel = sample_displaced(
+                src_al,
+                warp_comp_x - delta_i,
+                warp_comp_y,
+                halo_y=halo_y,
+                halo_x=halo_x,
+                interpolation="bicubic",
+                border="constant",
+                tr=8,
+                tc=128,
+                # bound window/one-hot memory at preset-scale chunk widths
+                max_window_elems=64 * 1024 * 1024,
+            )
     else:
         coords = jnp.stack([warp_comp_x, warp_comp_y], axis=1)
         novel = remap(src, coords, interpolation="bicubic", border="constant")

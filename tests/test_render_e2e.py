@@ -303,3 +303,52 @@ class TestFiniteDepthScene:
         p2 = psnr(outs[0.5][1], outs[1.0][1])
         assert p1 > 30.0, f"scaled vs full-res side flow (frame 1): {p1:.1f} dB"
         assert p2 > 30.0, f"scaled vs full-res side flow (frame 2): {p2:.1f} dB"
+
+
+class TestResidualSamplerIntegration:
+    """Force the preset-scale residual-window paths at CI scale and
+    assert they agree with the static-window render (the two samplers
+    must be interchangeable wherever the displacement spread fits)."""
+
+    def test_render_matches_static_paths(self, rig, views):
+        import surround360_tpu.render.panorama as pano_mod
+        import surround360_tpu.views.novel_view as nv_mod
+
+        side_images = jnp.asarray(
+            np.stack([views[rig.ids.index(s)] for s in rig.side_ids])
+        )
+        top = jnp.asarray(views[rig.top_camera_index])
+        bottom = jnp.asarray(views[rig.bottom_camera_index])
+        cfg = RenderConfig(
+            eqr_width=280,
+            eqr_height=140,
+            side_flow_alg="pixflow_tpu",
+            polar_flow_alg="pixflow_tpu",
+            enable_top=True,
+            enable_bottom=True,
+        )
+        ctx = build_render_context(rig, cfg)
+        ref, _ = render_frame(ctx, side_images, top, bottom)
+
+        saved = (
+            pano_mod.RESIDUAL_SAMPLER_MIN_EQR_W,
+            nv_mod.RESIDUAL_MIN_HALO_Y,
+            nv_mod.RESIDUAL_MIN_HALO_X,
+        )
+        pano_mod.RESIDUAL_SAMPLER_MIN_EQR_W = 1
+        nv_mod.RESIDUAL_MIN_HALO_Y = 1
+        nv_mod.RESIDUAL_MIN_HALO_X = 1
+        try:
+            out, _ = render_frame(ctx, side_images, top, bottom)
+        finally:
+            (
+                pano_mod.RESIDUAL_SAMPLER_MIN_EQR_W,
+                nv_mod.RESIDUAL_MIN_HALO_Y,
+                nv_mod.RESIDUAL_MIN_HALO_X,
+            ) = saved
+
+        a = np.asarray(ref["equirect"])
+        b = np.asarray(out["equirect"])
+        # identical up to beyond-residual-halo taps (none on this scene)
+        p = psnr(a, b)
+        assert p > 40.0, f"residual vs static render: {p:.1f} dB"

@@ -437,3 +437,117 @@ class TestStaticBandedRemap:
                       border="constant", method="gather")
         np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
                                    atol=3e-5)
+
+
+class TestResidualSampler:
+    """sample_displaced_residual: displacement-following window origins
+    must reproduce the dense remap exactly whenever the WITHIN-TILE
+    displacement spread fits the residual halos, regardless of the global
+    displacement magnitude."""
+
+    def _case(self, interp, border, res_halo_y, res_halo_x, tr, tc, group):
+        from surround360_tpu.ops.window_sampler import (
+            sample_displaced_residual,
+        )
+
+        rng = np.random.default_rng(3)
+        H, W = 160, 384
+        img = jnp.asarray(rng.random((2, 4, H, W), dtype=np.float32))
+        gy, gx = np.meshgrid(
+            np.arange(H, dtype=np.float32),
+            np.arange(W, dtype=np.float32),
+            indexing="ij",
+        )
+        # large global offsets (up to ~90 px) with small local variation
+        dy = 80 * np.sin(2 * np.pi * gy / H)[None] + 3 * np.sin(
+            2 * np.pi * gx / 23
+        )[None]
+        dx = 60 * np.cos(2 * np.pi * gx / W)[None] + 2 * np.cos(
+            2 * np.pi * gy / 31
+        )[None]
+        dy = np.repeat(dy, 2, 0)
+        dx = np.repeat(dx, 2, 0)
+        dy[1] *= 0.7
+        dx[1] *= -0.5  # per-lead distinct fields -> per-lead origins
+        x = jnp.asarray(gx[None] + dx)
+        y = jnp.asarray(gy[None] + dy)
+        ref = remap(
+            img, jnp.stack([x, y], axis=1), interpolation=interp,
+            border=border,
+        )
+        out = sample_displaced_residual(
+            img, x, y, halo_y=96, halo_x=72,
+            res_halo_y=res_halo_y, res_halo_x=res_halo_x,
+            interpolation=interp, border=border, tr=tr, tc=tc, group=group,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5
+        )
+
+    @pytest.mark.parametrize("interp", ["bilinear", "bicubic"])
+    def test_matches_dense_remap(self, interp):
+        # within-tile spread: |dy| ramp 3.1 px/row * 8 rows + 3 -> ~16;
+        # |dx| ramp 0.98 px/col * 64 cols + 2 -> ~33
+        self._case(interp, "constant", 24, 40, 8, 64, 16)
+
+    def test_clamp_border_and_group_remainder(self):
+        # group that does not divide T exercises the divisor fallback
+        self._case("bilinear", "clamp", 24, 40, 8, 64, 7)
+
+    def test_degenerate_single_window(self):
+        from surround360_tpu.ops.window_sampler import (
+            sample_displaced_residual,
+        )
+
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((2, 4, 32, 48), dtype=np.float32))
+        x = jnp.full((2, 32, 48), 5.5)
+        y = jnp.full((2, 32, 48), 3.5)
+        ref = remap(
+            img,
+            jnp.stack([x, y], axis=1),
+            interpolation="bilinear",
+            border="clamp",
+        )
+        out = sample_displaced_residual(
+            img, x, y, halo_y=40, halo_x=60, res_halo_y=30, res_halo_x=50,
+            interpolation="bilinear", border="clamp",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5
+        )
+
+    def test_mixed_spanning_axis_pins_origin(self):
+        """Output narrower than one tile -> the x window spans the whole
+        source; its origin must stay pinned (a mean-displacement shift
+        would slide real columns out of the source-sized window) while
+        the y axis still follows displacement."""
+        from surround360_tpu.ops.window_sampler import (
+            sample_displaced_residual,
+        )
+
+        rng = np.random.default_rng(11)
+        H, W = 160, 40  # narrow: W < tc -> ntx == 1
+        img = jnp.asarray(rng.random((3, 4, H, W), dtype=np.float32))
+        gy, gx = np.meshgrid(
+            np.arange(H, dtype=np.float32),
+            np.arange(W, dtype=np.float32),
+            indexing="ij",
+        )
+        dy = 60 * np.sin(2 * np.pi * gy / H)[None] + np.sin(gx / 5)[None]
+        dx = 12 * np.cos(2 * np.pi * gy / H)[None]  # biased x means
+        dy = np.repeat(dy, 3, 0)
+        dx = np.repeat(dx, 3, 0)
+        x = jnp.asarray(gx[None] + dx)
+        y = jnp.asarray(gy[None] + dy)
+        ref = remap(
+            img, jnp.stack([x, y], axis=1), interpolation="bicubic",
+            border="constant",
+        )
+        out = sample_displaced_residual(
+            img, x, y, halo_y=70, halo_x=14, res_halo_y=16, res_halo_x=14,
+            interpolation="bicubic", border="constant", tr=8, tc=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5
+        )
