@@ -551,3 +551,42 @@ class TestResidualSampler:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-5
         )
+
+
+class TestStaticPallasRemap:
+    def test_matches_dense_remap(self):
+        """The fused-kernel static remap path (host-planned aligned
+        window origins -> Pallas DMA + VMEM contraction) must match the
+        dense gather remap exactly on real side-camera warps."""
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
+        from surround360_tpu.ops.remap import _remap_static_pallas
+
+        rig = make_ring_rig().rescaled(0.125)
+        sides = rig.side_cameras
+        h_rad = 2.0 * rig_fov(sides, False)
+        v_rad = 2.0 * rig_fov(sides, True)
+        coords = np.stack([
+            side_cam_spherical_warp(
+                cam, i, len(sides), (280, 140), h_rad, v_rad
+            )[0]
+            for i, cam in enumerate(sides[:3])
+        ])
+        rng = np.random.default_rng(4)
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (3, 4, 256, 256)).astype(np.float32)
+        )
+        out = _remap_static_pallas(
+            imgs, coords, "bicubic", "constant", 16, 128, None
+        )
+        assert out is not None
+        dense = jnp.stack([
+            remap(
+                imgs[i], jnp.asarray(coords[i]), interpolation="bicubic",
+                border="constant", method="gather",
+            )
+            for i in range(3)
+        ])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(dense), atol=5e-5
+        )
