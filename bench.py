@@ -2,20 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline anchor (BASELINE.md): north-star >30 fps 8K stereo equirect on a
-v5e-8. This round-1 bench measures the complete pipeline (14-camera ring
-projection + 28 pair flows + novel-view chunks + top/bottom pole flow
-composite) on ONE chip at the configured equirect size; vs_baseline is
-fps / 30.
+v5e-8; vs_baseline is fps / 30.
 
-Default config = video semantics: frame-batch 8 chained through the
-temporal flow prior with lax.scan (the reference's frame chain,
-TestRenderStereoPanorama.cpp:210-256), which also amortizes the relay's
-~40 ms per-dispatch floor across the batch.
+Default config = the 6k QUALITY PRESET at the reference's video
+semantics: full 2048px cameras, 6300x3072/eye render -> 6144x6144 final,
+sharpening 0.25, frames chained through the temporal flow prior
+(TestRenderStereoPanorama.cpp:210-256, batch_process_video.py:188-193) on
+one chip — so BENCH_r*.json tracks the north-star geometry instead of
+the saturating 1008 number (round-2 verdict Weak #9/Next #8). Set
+S360_BENCH_PRESET=off for the legacy small-scale batch mode, or to
+another preset name (3k/4k/8k).
 
-Env knobs: S360_BENCH_EQR_WIDTH (default 1008), S360_BENCH_CAM_SCALE
-(default 0.25 -> 512px cameras), S360_BENCH_FRAMES (default 5),
-S360_BENCH_FULL_SPHERE=0/1 (default 1: top+bottom enabled),
-S360_BENCH_BATCH (default 8), S360_BENCH_TEMPORAL=0/1 (default 1).
+Legacy-mode env knobs: S360_BENCH_EQR_WIDTH (default 1008),
+S360_BENCH_CAM_SCALE (0.25 -> 512px cameras), S360_BENCH_FRAMES (5),
+S360_BENCH_FULL_SPHERE=0/1 (1), S360_BENCH_BATCH (8),
+S360_BENCH_TEMPORAL=0/1 (1).
 """
 
 from __future__ import annotations
@@ -51,6 +52,65 @@ def _install_watchdog(seconds: int):
     signal.alarm(seconds)
 
 
+def _preset_bench(preset: str):
+    """fps of the full preset pipeline with the temporal frame chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from surround360_tpu.capture import render_camera_views
+    from surround360_tpu.cli.render_video import (
+        PRESET_SHARPENING,
+        PRESET_SIDE_FLOW_SCALE,
+        QUALITY_PRESETS,
+    )
+    from surround360_tpu.geometry.rig import make_ring_rig
+    from surround360_tpu.render.panorama import (
+        RenderConfig,
+        build_render_context,
+        make_jitted_renderer,
+    )
+
+    eqr_w, eqr_h, fin_w, fin_h = QUALITY_PRESETS[preset]
+    n_frames = int(os.environ.get("S360_BENCH_FRAMES", "3"))
+    rig = make_ring_rig()
+    views = render_camera_views(rig)
+    side = jnp.asarray(
+        np.stack([views[rig.ids.index(s)] for s in rig.side_ids])
+    )
+    top = jnp.asarray(views[rig.top_camera_index])
+    bottom = jnp.asarray(views[rig.bottom_camera_index])
+    cfg = RenderConfig(
+        eqr_width=eqr_w,
+        eqr_height=eqr_h,
+        final_eqr_width=fin_w,
+        final_eqr_height=fin_h,
+        sharpening=PRESET_SHARPENING,
+        side_flow_alg="pixflow_tpu",
+        polar_flow_alg="pixflow_tpu",
+        side_flow_scale=PRESET_SIDE_FLOW_SCALE.get(preset, 1.0),
+        enable_top=True,
+        enable_bottom=True,
+    )
+    ctx = build_render_context(rig, cfg)
+    render0 = make_jitted_renderer(ctx, use_temporal=False)
+    render_t = make_jitted_renderer(ctx, use_temporal=True)
+    out, state = render0(side, top, bottom, None)
+    np.asarray(out["equirect"][0, 0, 0])
+    out, state = render_t(side, top, bottom, state)  # compile + warm
+    np.asarray(out["equirect"][0, 0, 0])
+    t0 = time.time()
+    for _ in range(n_frames):
+        out, state = render_t(side, top, bottom, state)
+        np.asarray(out["equirect"][0, 0, 0])
+    fps = n_frames / (time.time() - t0)
+    return fps, (
+        f"stereo equirect render fps ({preset} preset {eqr_w}x{eqr_h}/eye"
+        f" -> {fin_w}x{fin_h} final, 2048px cams, full pipeline incl. 28 "
+        f"pair flows + top/bottom pole composite + sharpen 0.25, temporal"
+        f" frame chain, 1 chip)"
+    )
+
+
 def main():
     _install_watchdog(int(os.environ.get("S360_BENCH_TIMEOUT_S", "2700")))
     import jax
@@ -58,6 +118,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+
+    preset = os.environ.get("S360_BENCH_PRESET", "6k")
+    if preset and preset != "off":
+        fps, metric = _preset_bench(preset)
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(fps, 3),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / 30.0, 4),
+                }
+            )
+        )
+        return
 
     from surround360_tpu.capture import render_camera_views
     from surround360_tpu.geometry.rig import make_ring_rig

@@ -9,7 +9,11 @@ This is the evidence the presets actually compile and run on one chip
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/preset_table.py
 Env: S360_PRESETS (default "3k,6k"), S360_PRESET_REPS (default 3),
-     S360_PRESET_CAM_SCALE (default 1.0 -> 2048px cameras).
+     S360_PRESET_CAM_SCALE (default 1.0 -> 2048px cameras),
+     S360_PRESET_TEMPORAL=1 -> VIDEO semantics: frames chained through
+     the temporal flow prior (the reference's frame chain,
+     TestRenderStereoPanorama.cpp:210-256) — the state pytree is stored
+     at flow resolution so a 6k/8k chain fits in the 15.75 GB HBM.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ def main():
     from surround360_tpu.capture import render_camera_views
     from surround360_tpu.cli.render_video import (
         PRESET_SHARPENING,
+        PRESET_SIDE_FLOW_SCALE,
         QUALITY_PRESETS,
     )
     from surround360_tpu.geometry.rig import make_ring_rig
@@ -46,6 +51,7 @@ def main():
     presets = os.environ.get("S360_PRESETS", "3k,6k").split(",")
     reps = int(os.environ.get("S360_PRESET_REPS", "3"))
     cam_scale = float(os.environ.get("S360_PRESET_CAM_SCALE", "1.0"))
+    temporal = os.environ.get("S360_PRESET_TEMPORAL", "0") == "1"
 
     rig = make_ring_rig().rescaled(cam_scale)
     views = render_camera_views(rig)
@@ -67,28 +73,46 @@ def main():
             sharpening=PRESET_SHARPENING,
             side_flow_alg="pixflow_tpu",
             polar_flow_alg="pixflow_tpu",
+            side_flow_scale=PRESET_SIDE_FLOW_SCALE.get(name.strip(), 1.0),
             enable_top=True,
             enable_bottom=True,
         )
         ctx = build_render_context(rig, cfg)
-        render = make_jitted_renderer(ctx)
         t0 = time.time()
         try:
-            # index [0] drops the state pytree immediately: at 6k it holds
-            # ~8 GB of pole flows/prev-frames, and keeping frame k's state
-            # alive across frame k+1 doubles that and OOMs the chip
-            out = render(side, top, bottom, None)[0]
-            np.asarray(out["equirect"][0, 0, 0])
+            if temporal:
+                # video semantics: frame 0 priorless, then a chain of
+                # `reps` frames carrying the temporal state (stored at
+                # flow resolution — full-res state OOM'd 6k at frame 2)
+                render0 = make_jitted_renderer(ctx, use_temporal=False)
+                render_t = make_jitted_renderer(ctx, use_temporal=True)
+                out, state = render0(side, top, bottom, None)
+                np.asarray(out["equirect"][0, 0, 0])
+                out, state = render_t(side, top, bottom, state)  # warm
+                np.asarray(out["equirect"][0, 0, 0])
+                compile_s = time.time() - t0
+                t0 = time.time()
+                for _ in range(reps):
+                    out, state = render_t(side, top, bottom, state)
+                    np.asarray(out["equirect"][0, 0, 0])
+                ms = (time.time() - t0) / reps * 1e3
+            else:
+                render = make_jitted_renderer(ctx)
+                # index [0] drops the state pytree immediately: keeping
+                # frame k's FULL-Res state alive across frame k+1 used to
+                # double ~8 GB and OOM the chip (priorless semantics)
+                out = render(side, top, bottom, None)[0]
+                np.asarray(out["equirect"][0, 0, 0])
+                compile_s = time.time() - t0
+                t0 = time.time()
+                for _ in range(reps):
+                    out = render(side, top, bottom, None)[0]
+                    np.asarray(out["equirect"][0, 0, 0])
+                ms = (time.time() - t0) / reps * 1e3
         except Exception as e:  # noqa: BLE001 - record OOM/compile failures
             rows.append({"preset": name, "error": f"{type(e).__name__}: {e}"[:200]})
             print(f"{name}: FAILED {type(e).__name__}", flush=True)
             continue
-        compile_s = time.time() - t0
-        t0 = time.time()
-        for _ in range(reps):
-            out = render(side, top, bottom, None)[0]
-            np.asarray(out["equirect"][0, 0, 0])
-        ms = (time.time() - t0) / reps * 1e3
         stats = {}
         try:
             stats = dev.memory_stats() or {}
@@ -98,6 +122,7 @@ def main():
         rows.append(
             {
                 "preset": name,
+                "mode": "temporal" if temporal else "priorless",
                 "eqr": f"{eqr_w}x{eqr_h}/eye",
                 "ms_per_frame": round(ms, 1),
                 "fps": round(1e3 / ms, 3),

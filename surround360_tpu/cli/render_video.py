@@ -40,6 +40,15 @@ QUALITY_PRESETS = {
 # (batch_process_video.py:177,183,189,195 "SHARPENNING": 0.25)
 PRESET_SHARPENING = 0.25
 
+# side pair flows computed on overlaps downscaled by this factor at the
+# large presets (RenderConfig.side_flow_scale): the flow fields are smooth
+# disparity and the solver already downsamples 0.5 internally; measured at
+# 6k this takes the dominant side-flow stage 3.46 s -> 0.63 s with
+# full-res-parity >30 dB (tests/test_render_e2e.py
+# ::test_side_flow_scale_matches_full_res) and preset-scale PSNR recorded
+# in BASELINE.md. 3k/4k keep the reference's full-res geometry.
+PRESET_SIDE_FLOW_SCALE = {"6k": 0.5, "8k": 0.5}
+
 
 def render_video(
     rig_json: str,
@@ -273,6 +282,7 @@ def main(argv=None):
         interpupilary_dist=args.interpupilary_dist,
         zero_parallax_dist=args.zero_parallax_dist,
         sharpening=args.sharpening,
+        side_flow_scale=PRESET_SIDE_FLOW_SCALE.get(args.quality, 1.0),
         enable_top=args.enable_top,
         enable_bottom=args.enable_bottom,
         enable_pole_removal=args.enable_pole_removal,
