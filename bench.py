@@ -112,7 +112,9 @@ def _preset_bench(preset: str):
 
 
 def main():
-    _install_watchdog(int(os.environ.get("S360_BENCH_TIMEOUT_S", "2700")))
+    # the 6k preset compiles ~10 staged programs through the compile
+    # tunnel with no persistent cache on this platform — budget for it
+    _install_watchdog(int(os.environ.get("S360_BENCH_TIMEOUT_S", "5400")))
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")

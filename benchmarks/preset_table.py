@@ -14,6 +14,9 @@ Env: S360_PRESETS (default "3k,6k"), S360_PRESET_REPS (default 3),
      the temporal flow prior (the reference's frame chain,
      TestRenderStereoPanorama.cpp:210-256) — the state pytree is stored
      at flow resolution so a 6k/8k chain fits in the 15.75 GB HBM.
+     S360_PRESET_CUBEMAP=1 -> also emit the stereo cubemap output
+     (faces eqr_height/2 square, the banded-warp path; convertSpherical-
+     ToCubemapBicubicRemap, ImageWarper.cpp:95-141).
 """
 
 from __future__ import annotations
@@ -52,6 +55,7 @@ def main():
     reps = int(os.environ.get("S360_PRESET_REPS", "3"))
     cam_scale = float(os.environ.get("S360_PRESET_CAM_SCALE", "1.0"))
     temporal = os.environ.get("S360_PRESET_TEMPORAL", "0") == "1"
+    cubemap = os.environ.get("S360_PRESET_CUBEMAP", "0") == "1"
 
     rig = make_ring_rig().rescaled(cam_scale)
     views = render_camera_views(rig)
@@ -61,6 +65,11 @@ def main():
     top = jnp.asarray(views[rig.top_camera_index])
     bottom = jnp.asarray(views[rig.bottom_camera_index])
     dev = jax.devices()[0]
+
+    def sync(out):
+        np.asarray(out["equirect"][0, 0, 0])
+        if "cubemap" in out:
+            np.asarray(out["cubemap"][0, 0, 0])
 
     rows = []
     for name in presets:
@@ -76,6 +85,8 @@ def main():
             side_flow_scale=PRESET_SIDE_FLOW_SCALE.get(name.strip(), 1.0),
             enable_top=True,
             enable_bottom=True,
+            cubemap_width=(eqr_h // 2) if cubemap else 0,
+            cubemap_height=(eqr_h // 2) if cubemap else 0,
         )
         ctx = build_render_context(rig, cfg)
         t0 = time.time()
@@ -87,14 +98,14 @@ def main():
                 render0 = make_jitted_renderer(ctx, use_temporal=False)
                 render_t = make_jitted_renderer(ctx, use_temporal=True)
                 out, state = render0(side, top, bottom, None)
-                np.asarray(out["equirect"][0, 0, 0])
+                sync(out)
                 out, state = render_t(side, top, bottom, state)  # warm
-                np.asarray(out["equirect"][0, 0, 0])
+                sync(out)
                 compile_s = time.time() - t0
                 t0 = time.time()
                 for _ in range(reps):
                     out, state = render_t(side, top, bottom, state)
-                    np.asarray(out["equirect"][0, 0, 0])
+                    sync(out)
                 ms = (time.time() - t0) / reps * 1e3
             else:
                 render = make_jitted_renderer(ctx)
@@ -102,12 +113,12 @@ def main():
                 # frame k's FULL-Res state alive across frame k+1 used to
                 # double ~8 GB and OOM the chip (priorless semantics)
                 out = render(side, top, bottom, None)[0]
-                np.asarray(out["equirect"][0, 0, 0])
+                sync(out)
                 compile_s = time.time() - t0
                 t0 = time.time()
                 for _ in range(reps):
                     out = render(side, top, bottom, None)[0]
-                    np.asarray(out["equirect"][0, 0, 0])
+                    sync(out)
                 ms = (time.time() - t0) / reps * 1e3
         except Exception as e:  # noqa: BLE001 - record OOM/compile failures
             rows.append({"preset": name, "error": f"{type(e).__name__}: {e}"[:200]})
@@ -122,7 +133,8 @@ def main():
         rows.append(
             {
                 "preset": name,
-                "mode": "temporal" if temporal else "priorless",
+                "mode": ("temporal" if temporal else "priorless")
+                + ("+cubemap" if cubemap else ""),
                 "eqr": f"{eqr_w}x{eqr_h}/eye",
                 "ms_per_frame": round(ms, 1),
                 "fps": round(1e3 / ms, 3),

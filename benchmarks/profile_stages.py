@@ -6,7 +6,10 @@ reference's per-frame stage log (TestRenderStereoPanorama.cpp:963-971).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/profile_stages.py
 Env: S360_PROF_EQR_WIDTH (1008), S360_PROF_CAM_SCALE (0.25),
-     S360_PROF_REPS (5), S360_PROF_FULL_SPHERE (1).
+     S360_PROF_REPS (5), S360_PROF_FULL_SPHERE (1),
+     S360_PROF_STAGES (csv of stage names; default all — select to skip
+     the expensive duplicate fused re-traces ring_total/full_frame at
+     preset scale).
 """
 
 from __future__ import annotations
@@ -67,9 +70,13 @@ def main():
         jnp.asarray(views[rig.bottom_camera_index]) if full_sphere else None
     )
 
-    results, costs = stage_breakdown(ctx, side, top, bottom, reps=reps)
+    stages = os.environ.get("S360_PROF_STAGES", "")
+    stages = set(s.strip() for s in stages.split(",") if s.strip()) or None
+    results, costs, build = stage_breakdown(
+        ctx, side, top, bottom, reps=reps, stages=stages
+    )
     print(f"\n== stage breakdown @ {eqr_w}x{eqr_h}/eye, cams x{cam_scale} ==")
-    print(format_breakdown(results, costs))
+    print(format_breakdown(results, costs, build))
     print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
     print(json.dumps({k: [round(x, 2) for x in v] for k, v in costs.items()}))
 

@@ -44,7 +44,45 @@ def render_camera_views(
 
     Returns list of (4, H, W) float32 RGBA numpy arrays in rig camera
     order; fisheye cameras get alpha=0 outside their fov circle.
+
+    Full-resolution renders are cached on disk (S360_VIEW_CACHE, default
+    ~/.cache/s360_views, empty to disable): the per-pixel float64 Newton
+    undistort across 17 x 2048^2 cameras costs tens of single-core host
+    minutes, which silently dominated every benchmark's startup.
     """
+    import hashlib
+    import os
+
+    cache_dir = os.environ.get(
+        "S360_VIEW_CACHE", os.path.expanduser("~/.cache/s360_views")
+    )
+    cache_path = None
+    if cache_dir and env_fn is checker_sinusoid_environment:
+        key_src = repr(
+            (
+                [
+                    (
+                        int(c.lens_type),
+                        tuple(np.asarray(c.resolution).ravel()),
+                        tuple(np.round(np.asarray(c.position), 9).ravel()),
+                        tuple(np.round(np.asarray(c.rotation), 9).ravel()),
+                        tuple(np.round(np.asarray(c.focal), 9).ravel()),
+                        tuple(np.round(np.asarray(c.principal), 9).ravel()),
+                        tuple(np.round(np.asarray(c.distortion), 9).ravel()),
+                        float(np.asarray(c.fov_threshold)),
+                    )
+                    for c in rig.cameras
+                ],
+                float(scene_distance),
+                image_size,
+            )
+        ).encode()
+        key = hashlib.sha256(key_src).hexdigest()[:24]
+        cache_path = os.path.join(cache_dir, f"views_{key}.npz")
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                return [z[f"v{i}"] for i in range(len(rig.cameras))]
+
     views = []
     for cam in rig.cameras:
         res = np.asarray(cam.resolution, dtype=np.int64)
@@ -72,6 +110,12 @@ def render_camera_views(
         )
         rgba = np.concatenate([rgb, alpha[..., None]], axis=-1)
         views.append(np.moveaxis(rgba, -1, 0).astype(np.float32))
+    if cache_path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **{f"v{i}": v for i, v in enumerate(views)})
+        os.replace(tmp, cache_path)
     return views
 
 

@@ -338,12 +338,67 @@ def remap_static_banded_multi(
         )
         if out is not None:
             return out
-    n_chunks = -(-Ho // chunk_rows)
+    return _remap_static_banded_bucketed(
+        imgs,
+        coords_np,
+        interpolation,
+        border,
+        chunk_rows,
+        tile_cols,
+        coords_dev,
+    )
+
+
+def _quantize_band(b: int, n: int) -> int:
+    """Round band size b up to 3 mantissa bits (next multiple of
+    2^(bitlength-3)), capped at n: chunks fall into a bounded ladder of
+    size classes (<=12.5% band inflation) so each class shares ONE traced
+    lax.map body instead of one HLO block per chunk."""
+    if b >= n:
+        return n
+    step = 1 << max(3, (b - 1).bit_length() - 3)
+    return min(n, -(-b // step) * step)
+
+
+def _remap_static_banded_bucketed(
+    imgs, coords_np, interpolation, border, chunk_rows, tile_cols, coords_dev
+):
+    """Size-bucketed implementation of the banded static remap.
+
+    The original emitted one HLO block PER row-chunk (bands differ in
+    size, so nothing could share a trace): ~200 unrolled einsum pairs at
+    6k, whose XLA compile dominates video-pipeline startup on this
+    platform (no persistent compile cache, 1-core host). Here per-chunk
+    band sizes are quantized to a few size classes; every chunk in a
+    class runs through one lax.map body with TRACED band origins
+    (dynamic_slice), so the program holds one body per class instead of
+    one per chunk. Quantized bands are supersets of the exact ones with
+    origins clamped into the source, so constant-border tap validity and
+    clamp folding are unchanged (out-of-band taps still miss / fold to
+    the true edge)."""
+    coords_np = np.asarray(coords_np)
+    N, _, Ho, Wo = coords_np.shape
+    H, W = imgs.shape[-2:]
     pad_taps = 3 if interpolation == "bicubic" else 1
     # "wrap" x coords can sample across the seam; banding x would need
     # modular windows — keep wrap remaps x-unbanded (y banding still wins)
     band_x = border != "wrap" and Wo > tile_cols
     ntx = -(-Wo // tile_cols) if band_x else 1
+    n_chunks = -(-Ho // chunk_rows)
+
+    # uniform chunk geometry: pad output rows (and tile cols) on host,
+    # trim at the end
+    pad_r = n_chunks * chunk_rows - Ho
+    pad_c = ntx * tile_cols - Wo if band_x else 0
+    co_np = np.pad(
+        coords_np, [(0, 0), (0, 0), (0, pad_r), (0, pad_c)], mode="edge"
+    )
+    if coords_dev is not None:
+        cd = jnp.pad(
+            coords_dev, [(0, 0), (0, 0), (0, pad_r), (0, pad_c)], mode="edge"
+        )
+    else:
+        cd = jnp.asarray(co_np, jnp.float32)
 
     def taps_1d(t, i0):
         if interpolation == "bilinear":
@@ -359,90 +414,62 @@ def remap_static_banded_multi(
 
     x_mode = "wrap" if border == "wrap" else "constant"
     y_mode = "clamp" if border == "wrap" else "constant"
+    lead_elems = int(np.prod(imgs.shape[:-2], dtype=np.int64))
+    P = chunk_rows * (tile_cols if band_x else Wo)
 
-    outs = []
+    # host planning: per-chunk y band + (band_x) per-(chunk, tile) x bands
+    y_np = co_np[:, 1].reshape(N, n_chunks, chunk_rows, ntx, tile_cols if band_x else Wo)
+    x_np = co_np[:, 0].reshape(N, n_chunks, chunk_rows, ntx, tile_cols if band_x else Wo)
+    plans = []  # (hb_q, wb_q) -> list of (chunk, y_lo, x_los)
+    buckets: dict = {}
     for c in range(n_chunks):
-        rows = slice(c * chunk_rows, min((c + 1) * chunk_rows, Ho))
-        nrows = rows.stop - rows.start
-        y_lo, y_hi = _static_axis_bounds(coords_np[:, 1, rows], H, pad_taps)
-        hb = y_hi - y_lo
-        band = imgs[..., y_lo:y_hi, :]  # (N, ..., C, hb, W)
-        co = coords_np[:, :, rows]  # (N, 2, nrows, Wo)
-
-        cd = None if coords_dev is None else coords_dev[:, :, rows]
-
-        if not band_x:
-            if cd is None:
-                xs = jnp.asarray(co[:, 0].reshape(N, -1), jnp.float32)
-                ys = jnp.asarray(co[:, 1].reshape(N, -1) - y_lo, jnp.float32)
-            else:
-                xs = cd[:, 0].reshape(N, -1)
-                ys = cd[:, 1].reshape(N, -1) - float(y_lo)
-            ohx = onehot(xs, W, x_mode)  # (N, P, W)
-            ohy = onehot(ys, hb, y_mode)
-            tmp = jnp.einsum(
-                "npw,n...chw->n...cph", ohx, band, precision="float32"
-            )
-            out = jnp.einsum(
-                "nph,n...cph->n...cp", ohy, tmp, precision="float32"
-            )
-            outs.append(out.reshape(imgs.shape[:-2] + (nrows, Wo)))
-            continue
-
-        # host: per-tile x bounds unioned over warps, uniform width so all
-        # (tile, warp) pairs stack into one einsum per chunk
-        pad_c = ntx * tile_cols - Wo
-        cxs = np.pad(
-            co[:, 0], [(0, 0), (0, 0), (0, pad_c)], mode="edge"
-        ).reshape(N, nrows, ntx, tile_cols)
-        cys = np.pad(
-            co[:, 1], [(0, 0), (0, 0), (0, pad_c)], mode="edge"
-        ).reshape(N, nrows, ntx, tile_cols)
-        x_los = []
-        wb = 1
-        for t in range(ntx):
-            lo, hi = _static_axis_bounds(cxs[:, :, t], W, pad_taps)
-            x_los.append(lo)
-            wb = max(wb, hi - lo)
-        x_los = [min(lo, W - wb) for lo in x_los]
-
-        if cd is None:
-            xs = jnp.asarray(
-                cxs.transpose(2, 0, 1, 3).reshape(ntx, N, -1)
-                - np.asarray(x_los, np.float32)[:, None, None],
-                jnp.float32,
-            )
-            ys = jnp.asarray(
-                cys.transpose(2, 0, 1, 3).reshape(ntx, N, -1) - y_lo,
-                jnp.float32,
-            )
+        y_lo, y_hi = _static_axis_bounds(y_np[:, c], H, pad_taps)
+        hb = _quantize_band(y_hi - y_lo, H)
+        y_lo = min(y_lo, H - hb)
+        if band_x:
+            x_los, wb = [], 1
+            for t in range(ntx):
+                lo, hi = _static_axis_bounds(x_np[:, c, :, t], W, pad_taps)
+                x_los.append(lo)
+                wb = max(wb, hi - lo)
+            wb = _quantize_band(wb, W)
+            x_los = [min(lo, W - wb) for lo in x_los]
         else:
-            cdp = jnp.pad(
-                cd, [(0, 0), (0, 0), (0, 0), (0, pad_c)], mode="edge"
-            ).reshape(N, 2, nrows, ntx, tile_cols)
-            xs = cdp[:, 0].transpose(2, 0, 1, 3).reshape(ntx, N, -1) - (
-                jnp.asarray(np.asarray(x_los, np.float32))[:, None, None]
-            )
-            ys = cdp[:, 1].transpose(2, 0, 1, 3).reshape(ntx, N, -1) - float(
-                y_lo
-            )
-        # absolute-index validity via shifted local windows: a tap is valid
-        # iff its absolute index is in range AND lands inside the window;
-        # both hold exactly because the host bounds cover all finite taps
-        windows = jnp.stack(
-            [band[..., lo : lo + wb] for lo in x_los]
-        )  # (ntx, N, ..., C, hb, wb)
-        ymode = y_mode if y_mode == "clamp" else "constant"
+            x_los, wb = [0], W
+        buckets.setdefault((hb, wb), []).append((c, y_lo, x_los))
+
+    cd_t = cd.reshape(
+        (N, 2, n_chunks, chunk_rows, ntx, tile_cols if band_x else Wo)
+    )
+    cd_t = cd_t.transpose(2, 4, 0, 1, 3, 5)  # (n_chunks, ntx, N, 2, r, tc)
+    cd_t = cd_t.reshape(n_chunks, ntx, N, 2, P)
+
+    out_chunks = [None] * n_chunks
+    for (hb, wb), entries in sorted(buckets.items()):
+        k = len(entries)
+        idxs = np.asarray([e[0] for e in entries], np.int32)
+        y_los = jnp.asarray([e[1] for e in entries], jnp.int32)  # (k,)
+        x_los = jnp.asarray(
+            np.asarray([e[2] for e in entries], np.int32)
+        )  # (k, ntx)
+        xs_k = cd_t[idxs, :, :, 0]  # (k, ntx, N, P)
+        ys_k = cd_t[idxs, :, :, 1]
+
+        # per-map-step stage temp: sub-group tiles when it exceeds budget
+        tmp_elems = ntx * lead_elems * P * min(hb, wb)
+        g = ntx
+        if tmp_elems > _REMAP_MATMUL_CHUNK_ELEMS:
+            per_tile = max(1, tmp_elems // ntx)
+            g = max(1, int(_REMAP_MATMUL_CHUNK_ELEMS // per_tile))
+            g = max(d for d in range(1, g + 1) if ntx % d == 0)
 
         def contract(xs_, ys_, win_):
-            ohx = onehot(xs_, wb, "constant")  # (..., N, P, wb)
-            ohy = onehot(ys_, hb, ymode)
-            # eliminate the larger band axis first (smaller stage temp);
-            # small bands keep the tuned w-first order
+            # (..., N, P, wb/hb) one-hots against (..., N, lead, C, hb, wb)
+            ohx = onehot(xs_, wb, "constant" if band_x else x_mode)
+            ohy = onehot(ys_, hb, y_mode if y_mode == "clamp" else "constant")
             if hb > wb and hb >= 512:
                 tmp = jnp.einsum(
-                    "xnph,xn...chw->xn...cpw", ohy, win_,
-                    precision="float32",
+                    "xnph,xn...chw->xn...cpw", ohy, win_, precision="float32"
                 )
                 return jnp.einsum(
                     "xnpw,xn...cpw->xn...cp", ohx, tmp, precision="float32"
@@ -454,31 +481,43 @@ def remap_static_banded_multi(
                 "xnph,xn...cph->xn...cp", ohy, tmp, precision="float32"
             )
 
-        # the all-tiles einsum's stage temp is ntx * N * C * P * band
-        # elements — 20 GB for the 8k fisheye strips (polar warps have
-        # near-full-height y-bands); chunk tiles through lax.map with
-        # one-hots built inside the body when it exceeds the budget
-        lead_elems = int(np.prod(imgs.shape[:-2], dtype=np.int64))
-        tmp_elems = ntx * lead_elems * xs.shape[-1] * min(hb, wb)
-        if tmp_elems > _REMAP_MATMUL_CHUNK_ELEMS:
-            per_tile = max(1, tmp_elems // ntx)
-            g = max(1, int(_REMAP_MATMUL_CHUNK_ELEMS // per_tile))
-            g = max(d for d in range(1, g + 1) if ntx % d == 0)
+        def body(args):
+            xs_c, ys_c, y_lo, x_lo = args  # (ntx, N, P), scalar, (ntx,)
+            band = jax.lax.dynamic_slice_in_dim(imgs, y_lo, hb, axis=-2)
+            wins = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(band, x_lo[t], wb, axis=-1)
+                    for t in range(ntx)
+                ]
+            )  # (ntx, N, ..., C, hb, wb)
+            xs_l = xs_c - x_lo[:, None, None].astype(jnp.float32)
+            ys_l = ys_c - y_lo.astype(jnp.float32)
+            if g == ntx:
+                return contract(xs_l, ys_l, wins)
             grp = lambda a: a.reshape((ntx // g, g) + a.shape[1:])
+            out = jax.lax.map(
+                lambda a: contract(*a), (grp(xs_l), grp(ys_l), grp(wins))
+            )
+            return out.reshape((ntx,) + out.shape[2:])
 
-            def body(args):
-                xs_, ys_, win_ = args
-                return contract(xs_, ys_, win_)
-
-            out = jax.lax.map(body, (grp(xs), grp(ys), grp(windows)))
-            out = out.reshape((ntx,) + out.shape[2:])
+        if k == 1:
+            outs = body((xs_k[0], ys_k[0], y_los[0], x_los[0]))[None]
         else:
-            out = contract(xs, ys, windows)  # (ntx, N, ..., C, P)
-        out = out.reshape((ntx,) + imgs.shape[:-2] + (nrows, tile_cols))
-        out = jnp.moveaxis(out, 0, -2)  # (N, ..., nrows, ntx, tile_cols)
-        out = out.reshape(imgs.shape[:-2] + (nrows, ntx * tile_cols))
-        outs.append(out[..., :Wo])
-    return jnp.concatenate(outs, axis=-2)
+            outs = jax.lax.map(body, (xs_k, ys_k, y_los, x_los))
+        # (k, ntx, N, ..., C, P) -> per chunk (N, ..., C, rows, cols)
+        outs = outs.reshape(
+            (k, ntx) + imgs.shape[:-2] + (chunk_rows, tile_cols if band_x else Wo)
+        )
+        outs = jnp.moveaxis(outs, 1, -2)
+        outs = outs.reshape(
+            (k,)
+            + imgs.shape[:-2]
+            + (chunk_rows, ntx * (tile_cols if band_x else Wo))
+        )
+        for j, (c, _, _) in enumerate(entries):
+            out_chunks[c] = outs[j][..., :Wo]
+    out = jnp.concatenate(out_chunks, axis=-2)
+    return out[..., :Ho, :]
 
 
 def remap_static_banded(

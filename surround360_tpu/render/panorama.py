@@ -24,7 +24,7 @@ resume parity.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any
 
 import os
@@ -623,19 +623,91 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     return warped, new_state
 
 
-def _cubemap(ctx: RenderContext, pano_rgb):
+# equatorial faces have compact per-tile source footprints once their x
+# coords are unwrapped across the theta seam; polar faces sweep all
+# longitudes near the pole, so only their y bands are useful
+_CUBEMAP_EQ_FACES = ("right", "left", "back", "front")
+_CUBEMAP_PO_FACES = ("top", "bottom")
+
+
+@lru_cache(maxsize=8)
+def _plan_cubemap(eqr_h: int, eqr_w: int, face_w: int, face_h: int):
+    """Host plan for the banded cubemap remap: stacked face warps with
+    BORDER_WRAP converted to an all-taps-in-bounds constant-border remap
+    of a padded panorama (wrap-pad x, edge-pad y = the reference remap's
+    wrap-x/clamp-y semantics, ImageWarper.cpp:137 + ops/remap._gather2d).
+    Equatorial faces are unwrapped to continuous x (a 90-degree face
+    straddles at most one of the two arctan branch cuts) so their per-tile
+    windows stay narrow. Returns (eq (2,4fh,fw), po (2,2fh,fw), pad_l,
+    pad_r) with coords already shifted into padded units."""
+    pad_taps = 3  # bicubic reach
+    eq_warps = []
+    x_min, x_max = 0.0, float(eqr_w - 1)
+    for face in _CUBEMAP_EQ_FACES:
+        w = equirect_to_cubemap_warp(
+            (eqr_h, eqr_w), (face_w, face_h), face, np.pi
+        )
+        x = w[0]
+        if x.max() - x.min() > eqr_w / 2:  # straddles the theta=0 seam
+            x = np.where(x > eqr_w / 2, x - eqr_w, x)
+        x_min = min(x_min, float(x.min()))
+        x_max = max(x_max, float(x.max()))
+        eq_warps.append(np.stack([x, w[1]]))
+    po_warps = [
+        equirect_to_cubemap_warp((eqr_h, eqr_w), (face_w, face_h), f, np.pi)
+        for f in _CUBEMAP_PO_FACES
+    ]
+    pad_l = int(np.ceil(max(0.0, -x_min))) + pad_taps
+    pad_r = int(np.ceil(max(0.0, x_max - (eqr_w - 1)))) + pad_taps
+    eq = np.concatenate(eq_warps, axis=-2).astype(np.float32)
+    po = np.concatenate(po_warps, axis=-2).astype(np.float32)
+    for w in (eq, po):
+        w[0] += pad_l
+        w[1] += pad_taps  # y edge-pad shift
+    return eq, po, pad_l, pad_r
+
+
+def _cubemap(ctx: RenderContext, pano_rgb, warps_dev: dict | None = None):
     """Equirect -> stacked cubemap faces (convertSphericalToCubemap...,
-    ImageWarper.cpp:95-141 + stackOutputCubemapFaces, CvUtil.cpp:117-138)."""
+    ImageWarper.cpp:95-141 + stackOutputCubemapFaces, CvUtil.cpp:117-138).
+
+    All six faces ride the banded static remap (Pallas fused windows for
+    the equatorial stack on TPU; y-banded einsums for the polar stack) on
+    one shared padded copy of the panorama instead of six dense full-width
+    remaps. warps_dev: optional {"eq", "po"} traced warp copies so preset-
+    scale programs don't embed the warps as constant literals."""
+    from ..ops.remap import remap_static_banded
+
     cfg = ctx.config
     eqr_h, eqr_w = pano_rgb.shape[-2:]
-    faces = {}
-    for face in CUBEMAP_FACE_ORDER:
-        warp = equirect_to_cubemap_warp(
-            (eqr_h, eqr_w), (cfg.cubemap_width, cfg.cubemap_height), face, np.pi
-        )
-        faces[face] = remap(
-            pano_rgb, jnp.asarray(warp), interpolation="bicubic", border="wrap"
-        )
+    eq, po, pad_l, pad_r = _plan_cubemap(
+        eqr_h, eqr_w, cfg.cubemap_width, cfg.cubemap_height
+    )
+    pad_taps = 3
+    padded = jnp.concatenate(
+        [pano_rgb[..., -pad_l:], pano_rgb, pano_rgb[..., :pad_r]], axis=-1
+    )
+    padded = jnp.pad(
+        padded, [(0, 0), (pad_taps, pad_taps), (0, 0)], mode="edge"
+    )
+    dev = warps_dev or {}
+    faces_eq = remap_static_banded(
+        padded, eq, "bicubic", "constant", coords_dev=dev.get("eq")
+    )
+    faces_po = remap_static_banded(
+        padded, po, "bicubic", "constant", coords_dev=dev.get("po")
+    )
+    fh = cfg.cubemap_height
+    faces = {
+        f: faces_eq[..., i * fh : (i + 1) * fh, :]
+        for i, f in enumerate(_CUBEMAP_EQ_FACES)
+    }
+    faces.update(
+        {
+            f: faces_po[..., i * fh : (i + 1) * fh, :]
+            for i, f in enumerate(_CUBEMAP_PO_FACES)
+        }
+    )
     if cfg.cubemap_format == "video":
         first3 = [jnp.flip(faces[f], axis=-1) for f in ("left", "right", "top")]
         second3 = [
@@ -743,7 +815,7 @@ def render_frame(
         flipped = flatten_layers_deghost_prefer_base(flipped, warped)
         pano2 = jnp.flip(flipped, axis=(-2, -1))
 
-    outputs = _finalize_outputs(ctx, pano2)
+    outputs = _finalize_outputs(ctx, pano2, cubemap_warps=dw.get("cubemap"))
     if save_debug:
         outputs["debug"] = debug
     return outputs, new_state
@@ -760,13 +832,17 @@ def _final_resize_shape(cfg) -> "tuple[int, int] | None":
     return shape
 
 
-def _finalize_outputs(ctx: RenderContext, pano2, resize_mats=None):
+def _finalize_outputs(
+    ctx: RenderContext, pano2, resize_mats=None, cubemap_warps=None
+):
     """Sharpen, optional cubemap, optional final resize, stereo stack
     (TestRenderStereoPanorama.cpp:901-961).
 
     resize_mats: optional {"row": (Ho, H), "col": (Wo, W)} traced cubic
     interpolation matrices (only the axes that change size) so the final
-    resize at 4k/8k doesn't embed an O(n^2)-byte constant (275 MB at 8k)."""
+    resize at 4k/8k doesn't embed an O(n^2)-byte constant (275 MB at 8k).
+    cubemap_warps: optional {"eq", "po"} traced cubemap warp stacks, same
+    rationale."""
     cfg = ctx.config
     rgb2 = pano2[:, :3]
 
@@ -782,7 +858,11 @@ def _finalize_outputs(ctx: RenderContext, pano2, resize_mats=None):
     outputs = {}
     if cfg.cubemap_width > 0 and cfg.cubemap_height > 0:
         outputs["cubemap"] = jnp.concatenate(
-            [_cubemap(ctx, rgb2[0]), _cubemap(ctx, rgb2[1])], axis=-2
+            [
+                _cubemap(ctx, rgb2[0], warps_dev=cubemap_warps),
+                _cubemap(ctx, rgb2[1], warps_dev=cubemap_warps),
+            ],
+            axis=-2,
         )
 
     final = _final_resize_shape(cfg)
@@ -830,6 +910,12 @@ def make_jitted_renderer(
         dw["top"] = jnp.asarray(ctx.top_warp, jnp.float32)
     if ctx.bottom_warp is not None:
         dw["bottom"] = jnp.asarray(ctx.bottom_warp, jnp.float32)
+    if cfg.cubemap_width > 0 and cfg.cubemap_height > 0:
+        eq, po, _, _ = _plan_cubemap(
+            cfg.eqr_height, cfg.eqr_width, cfg.cubemap_width,
+            cfg.cubemap_height,
+        )
+        dw["cubemap"] = {"eq": jnp.asarray(eq), "po": jnp.asarray(po)}
 
     if not staged:
 
@@ -849,107 +935,7 @@ def make_jitted_renderer(
             side, top, bottom, state, dw
         )
 
-    # the ring is itself three stages: the fused projection+flow+novel
-    # program OOMs at 8k while each piece fits alone
-    @jax.jit
-    def proj_stage(side_images, warps):
-        return _project_side_cameras(ctx, side_images, warps_dev=warps)
-
-    @jax.jit
-    def flow_stage(projections, state):
-        ov = ctx.overlap_w
-        overlap_l = projections[..., ctx.strip_w - ov :]
-        overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
-        flow_ltr, flow_rtl, ring_state = _side_pair_flows(
-            ctx, overlap_l, overlap_r, state, use_temporal
-        )
-        return overlap_l, overlap_r, flow_ltr, flow_rtl, ring_state
-
-    @jax.jit
-    def chunk_stage(overlap_l, overlap_r, flow_ltr, flow_rtl):
-        chunks_l, chunks_r = render_chunk_pair(
-            overlap_l,
-            overlap_r,
-            flow_ltr,
-            flow_rtl,
-            ctx.warp_cols_l,
-            ctx.t_cols,
-            ctx.warp_cols_r,
-        )
-        pano_l = stack_horizontal(
-            [chunks_l[i] for i in range(chunks_l.shape[0])]
-        )
-        pano_r = stack_horizontal(
-            [chunks_r[i] for i in range(chunks_r.shape[0])]
-        )
-        pano_l = offset_horizontal_wrap(pano_l, ctx.zero_parallax_shift_px)
-        pano_r = offset_horizontal_wrap(pano_r, -ctx.zero_parallax_shift_px)
-        return jnp.stack(
-            [
-                _pad_to_height(pano_l, cfg.eqr_height),
-                _pad_to_height(pano_r, cfg.eqr_height),
-            ]
-        )
-
-    def ring_stage(side_images, state, warps):
-        projections = proj_stage(side_images, warps)
-        _done(projections)
-        ol, orr, fl, fr, ring_state = flow_stage(projections, state)
-        _done(fl)
-        del projections
-        pano2 = chunk_stage(ol, orr, fl, fr)
-        return pano2, ring_state
-
-    @jax.jit
-    def top_stage(pano2, top_image, state, warp):
-        strip = _prepare_fisheye_strip(
-            ctx,
-            ctx.top_warp,
-            ctx.top_h,
-            top_image,
-            cfg.std_alpha_feather_size,
-            warp_dev=warp,
-        )
-        warped, st = _pole_to_side_flow(
-            ctx, pano2, strip, "top", state, use_temporal
-        )
-        return flatten_layers_deghost_prefer_base(pano2, warped), st
-
-    @jax.jit
-    def bottom_stage(pano2, bottom_image, state, warp):
-        strip = _prepare_fisheye_strip(
-            ctx,
-            ctx.bottom_warp,
-            ctx.bottom_h,
-            bottom_image,
-            cfg.std_alpha_feather_size,
-            alpha_min=True,
-            warp_dev=warp,
-        )
-        flipped = jnp.flip(pano2, axis=(-2, -1))
-        warped, st = _pole_to_side_flow(
-            ctx, flipped, strip, "bottom", state, use_temporal
-        )
-        flipped = flatten_layers_deghost_prefer_base(flipped, warped)
-        return jnp.flip(flipped, axis=(-2, -1)), st
-
-    final = _final_resize_shape(cfg)
-    resize_mats = {}
-    if final is not None:
-        from ..ops.resize import resize_matrix_cubic
-
-        if final[0] != cfg.eqr_height:
-            resize_mats["row"] = jnp.asarray(
-                resize_matrix_cubic(cfg.eqr_height, final[0])
-            )
-        if final[1] != cfg.eqr_width:
-            resize_mats["col"] = jnp.asarray(
-                resize_matrix_cubic(cfg.eqr_width, final[1])
-            )
-
-    @jax.jit
-    def output_stage(pano2, mats):
-        return _finalize_outputs(ctx, pano2, resize_mats=mats)
+    shared, per_t = _staged_stage_jits(ctx, use_temporal)
 
     # serialize stage execution so only one stage's workspace is ever in
     # flight (async dispatch can otherwise enqueue the next stage while
@@ -964,17 +950,169 @@ def make_jitted_renderer(
     def fn(side_images, top_image, bottom_image, state):
         state = state or {}
         new_state: dict[str, Any] = {}
-        pano2, st = ring_stage(side_images, state, dw["side"])
+        projections = shared["proj"](side_images, dw["side"])
+        _done(projections)
+        ol, orr, fl, fr, st = per_t["flow"](projections, state)
+        _done(fl)
+        del projections
+        pano2 = shared["chunk"](ol, orr, fl, fr)
         _done(pano2)
         new_state.update(st)
         if cfg.enable_top:
-            pano2, st = top_stage(pano2, top_image, state, dw["top"])
+            strip = shared["top_strip"](top_image, dw["top"])
+            _done(strip)
+            pano2, st = per_t["top"](pano2, strip, state)
             _done(pano2)
             new_state.update(st)
         if cfg.enable_bottom:
-            pano2, st = bottom_stage(pano2, bottom_image, state, dw["bottom"])
+            strip = shared["bottom_strip"](bottom_image, dw["bottom"])
+            _done(strip)
+            pano2, st = per_t["bottom"](pano2, strip, state)
             _done(pano2)
             new_state.update(st)
-        return output_stage(pano2, resize_mats), new_state
+        out = shared["output"](pano2, shared["resize_mats"], dw.get("cubemap"))
+        return out, new_state
 
     return fn
+
+
+def _staged_stage_jits(ctx: RenderContext, use_temporal: bool):
+    """Build (or fetch) the staged renderer's jitted stage programs.
+
+    Cached on the context so the priorless and temporal renderer variants
+    of one video run share the temporal-INDEPENDENT stage compiles
+    (projection / chunk render / output) — at 6k+ each staged compile is
+    minutes through the compile tunnel and there is no persistent cache
+    on the axon platform, so duplicate stage programs double the video
+    pipeline's startup cost for nothing."""
+    cache = getattr(ctx, "_stage_jit_cache", None)
+    if cache is None:
+        cache = {}
+        ctx._stage_jit_cache = cache
+    cfg = ctx.config
+
+    shared = cache.get("shared")
+    if shared is None:
+        # the ring is itself three stages: the fused projection+flow+novel
+        # program OOMs at 8k while each piece fits alone
+        @jax.jit
+        def proj_stage(side_images, warps):
+            return _project_side_cameras(ctx, side_images, warps_dev=warps)
+
+        @jax.jit
+        def chunk_stage(overlap_l, overlap_r, flow_ltr, flow_rtl):
+            chunks_l, chunks_r = render_chunk_pair(
+                overlap_l,
+                overlap_r,
+                flow_ltr,
+                flow_rtl,
+                ctx.warp_cols_l,
+                ctx.t_cols,
+                ctx.warp_cols_r,
+            )
+            pano_l = stack_horizontal(
+                [chunks_l[i] for i in range(chunks_l.shape[0])]
+            )
+            pano_r = stack_horizontal(
+                [chunks_r[i] for i in range(chunks_r.shape[0])]
+            )
+            pano_l = offset_horizontal_wrap(pano_l, ctx.zero_parallax_shift_px)
+            pano_r = offset_horizontal_wrap(
+                pano_r, -ctx.zero_parallax_shift_px
+            )
+            return jnp.stack(
+                [
+                    _pad_to_height(pano_l, cfg.eqr_height),
+                    _pad_to_height(pano_r, cfg.eqr_height),
+                ]
+            )
+
+        final = _final_resize_shape(cfg)
+        resize_mats = {}
+        if final is not None:
+            from ..ops.resize import resize_matrix_cubic
+
+            if final[0] != cfg.eqr_height:
+                resize_mats["row"] = jnp.asarray(
+                    resize_matrix_cubic(cfg.eqr_height, final[0])
+                )
+            if final[1] != cfg.eqr_width:
+                resize_mats["col"] = jnp.asarray(
+                    resize_matrix_cubic(cfg.eqr_width, final[1])
+                )
+
+        @jax.jit
+        def output_stage(pano2, mats, cub):
+            return _finalize_outputs(
+                ctx, pano2, resize_mats=mats, cubemap_warps=cub
+            )
+
+        # the fisheye strip preps are temporal-independent and their
+        # banded polar remaps are among the largest staged HLOs — keep
+        # them out of the per-temporal pole stages so they compile once
+        @jax.jit
+        def top_strip_stage(top_image, warp):
+            return _prepare_fisheye_strip(
+                ctx,
+                ctx.top_warp,
+                ctx.top_h,
+                top_image,
+                cfg.std_alpha_feather_size,
+                warp_dev=warp,
+            )
+
+        @jax.jit
+        def bottom_strip_stage(bottom_image, warp):
+            return _prepare_fisheye_strip(
+                ctx,
+                ctx.bottom_warp,
+                ctx.bottom_h,
+                bottom_image,
+                cfg.std_alpha_feather_size,
+                alpha_min=True,
+                warp_dev=warp,
+            )
+
+        shared = {
+            "proj": proj_stage,
+            "chunk": chunk_stage,
+            "output": output_stage,
+            "resize_mats": resize_mats,
+            "top_strip": top_strip_stage,
+            "bottom_strip": bottom_strip_stage,
+        }
+        cache["shared"] = shared
+
+    per_t = cache.get(use_temporal)
+    if per_t is None:
+
+        @jax.jit
+        def flow_stage(projections, state):
+            ov = ctx.overlap_w
+            overlap_l = projections[..., ctx.strip_w - ov :]
+            overlap_r = jnp.roll(projections, -1, axis=0)[..., :ov]
+            flow_ltr, flow_rtl, ring_state = _side_pair_flows(
+                ctx, overlap_l, overlap_r, state, use_temporal
+            )
+            return overlap_l, overlap_r, flow_ltr, flow_rtl, ring_state
+
+        @jax.jit
+        def top_stage(pano2, strip, state):
+            warped, st = _pole_to_side_flow(
+                ctx, pano2, strip, "top", state, use_temporal
+            )
+            return flatten_layers_deghost_prefer_base(pano2, warped), st
+
+        @jax.jit
+        def bottom_stage(pano2, strip, state):
+            flipped = jnp.flip(pano2, axis=(-2, -1))
+            warped, st = _pole_to_side_flow(
+                ctx, flipped, strip, "bottom", state, use_temporal
+            )
+            flipped = flatten_layers_deghost_prefer_base(flipped, warped)
+            return jnp.flip(flipped, axis=(-2, -1)), st
+
+        per_t = {"flow": flow_stage, "top": top_stage, "bottom": bottom_stage}
+        cache[use_temporal] = per_t
+
+    return shared, per_t

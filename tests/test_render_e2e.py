@@ -6,6 +6,8 @@ at-infinity environment through the exact camera model, run the full
 pipeline, and compare against the analytically-derived expected equirect.
 """
 
+from types import SimpleNamespace
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,6 +214,65 @@ class TestFullSphereRender:
         outputs, _ = render_frame(ctx, side_images)
         # video format: 3x2 faces per eye, stacked vertically for stereo
         assert outputs["cubemap"].shape == (3, 2 * 2 * 64, 3 * 64)
+
+    def test_cubemap_banded_matches_dense_wrap(self):
+        """The banded cubemap (stacked unwrapped warps on a padded pano,
+        constant border) must equal the round-1 dense per-face remap with
+        border='wrap' — the BORDER_WRAP contract of ImageWarper.cpp:137."""
+        from surround360_tpu.ops.remap import remap
+        from surround360_tpu.ops.warp import (
+            CUBEMAP_FACE_ORDER,
+            equirect_to_cubemap_warp,
+        )
+        from surround360_tpu.render.panorama import _cubemap
+
+        rng = np.random.default_rng(7)
+        eqr_h, eqr_w, face = 96, 192, 48
+        pano = jnp.asarray(rng.uniform(size=(3, eqr_h, eqr_w)), jnp.float32)
+        for fmt in ("video", "photo"):
+            cfg = RenderConfig(
+                eqr_width=eqr_w,
+                eqr_height=eqr_h,
+                cubemap_width=face,
+                cubemap_height=face,
+                cubemap_format=fmt,
+            )
+            ctx = SimpleNamespace(config=cfg)
+            got = np.asarray(_cubemap(ctx, pano))
+            faces = {
+                f: remap(
+                    pano,
+                    jnp.asarray(
+                        equirect_to_cubemap_warp(
+                            (eqr_h, eqr_w), (face, face), f, np.pi
+                        )
+                    ),
+                    interpolation="bicubic",
+                    border="wrap",
+                )
+                for f in CUBEMAP_FACE_ORDER
+            }
+            if fmt == "video":
+                first3 = [
+                    np.flip(faces[f], axis=-1) for f in ("left", "right", "top")
+                ]
+                second3 = [
+                    np.flip(faces[f], axis=-1)
+                    for f in ("bottom", "back", "front")
+                ]
+                want = np.concatenate(
+                    [
+                        np.concatenate(first3, axis=-1),
+                        np.concatenate(second3, axis=-1),
+                    ],
+                    axis=-2,
+                )
+            else:
+                want = np.concatenate(
+                    [faces[f] for f in CUBEMAP_FACE_ORDER], axis=-2
+                )
+            err = np.abs(got - want).max()
+            assert err < 1e-4, f"{fmt}: banded vs dense-wrap cubemap {err}"
 
     def test_temporal_state_roundtrip(self, rig, views):
         cfg = RenderConfig(
