@@ -458,13 +458,35 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     fisheye: (4, rows_f, eqr_w). Returns (2, 4, eqr_h, eqr_w) warped
     fisheye layers + new state entries.
     """
+    fish = jnp.broadcast_to(fisheye[None], (2,) + fisheye.shape)
+    prev = tuple(
+        state.get(f"{state_key}_{k}")
+        for k in ("flow", "prev_side", "prev_fish")
+    )
+    warped, st = _pole_flow_core(ctx, side_pano_2, fish, prev, use_temporal)
+    new_state = {
+        f"{state_key}_flow": st[0],
+        f"{state_key}_prev_side": st[1],
+        f"{state_key}_prev_fish": st[2],
+    }
+    return warped, new_state
+
+
+def _pole_flow_core(ctx: RenderContext, side_pano, fish, prev, use_temporal):
+    """Batch-generic pole flow/warp: side_pano (B, 4, eqr_h, eqr_w), fish
+    (B, 4, rows_f, eqr_w), prev = (flow, prev_side, prev_fish) stacked
+    (B, ...) temporal state or Nones. Returns (warped (B, 4, eqr_h,
+    eqr_w), state tuple). B is eyes for one pole (2) or poles x eyes (4)
+    for the merged top+bottom program (_poles_to_side_flow)."""
     cfg = ctx.config
-    rows_f, eqr_w = fisheye.shape[-2:]
+    rows_f, eqr_w = fish.shape[-2:]
+    B = side_pano.shape[0]
     ext_w = int(eqr_w * 1.2)
     max_blend_x = int(eqr_w * 0.2)
     g = ctx.pole_ramp_geometry
+    prev_flow, prev_side, prev_fish = prev
 
-    cropped = side_pano_2[..., :rows_f, :]
+    cropped = side_pano[..., :rows_f, :]
     cropped = feather_alpha(cropped, cfg.std_alpha_feather_size)
 
     # extend horizontally with wrap (both eyes + the fisheye). ext_w <
@@ -472,16 +494,14 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     # index gather, which XLA:TPU lowers far worse
     ext = lambda a: jnp.concatenate([a, a[..., : ext_w - eqr_w]], axis=-1)
     ext_side = ext(cropped)
-    ext_fish = jnp.broadcast_to(
-        ext(fisheye)[None], (2,) + fisheye.shape[:-1] + (ext_w,)
-    )
+    ext_fish = ext(fish)
 
     # pole-to-side displacement is y-dominant (the fisheye is pulled toward
     # the sides along phi) — swap the banded sampler's halos accordingly
     flow_params = make_flow_params(cfg.polar_flow_alg)._replace(
         window_halo_y_frac=0.30, window_halo_x_frac=0.10
     )
-    hints = jnp.full((2,), HINT_DOWN, jnp.int32)
+    hints = jnp.full((B,), HINT_DOWN, jnp.int32)
     scale = cfg.polar_flow_scale
     small_side = small_fish = None
     if scale != 1.0:
@@ -496,14 +516,14 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
             flow_params,
             hint=hints,
             prev_flow=None
-            if state.get(f"{state_key}_flow") is None
-            else resize_area(state[f"{state_key}_flow"], (fh, fw)) * scale,
+            if prev_flow is None
+            else resize_area(prev_flow, (fh, fw)) * scale,
             prev_img0=None
-            if state.get(f"{state_key}_prev_side") is None
-            else resize_area(state[f"{state_key}_prev_side"], (fh, fw)),
+            if prev_side is None
+            else resize_area(prev_side, (fh, fw)),
             prev_img1=None
-            if state.get(f"{state_key}_prev_fish") is None
-            else resize_area(state[f"{state_key}_prev_fish"], (fh, fw)),
+            if prev_fish is None
+            else resize_area(prev_fish, (fh, fw)),
             use_temporal=use_temporal,
         )
         flow = resize_bilinear(flow_small, (rows_f, ext_w)) / scale
@@ -513,11 +533,11 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
             ext_fish,
             flow_params,
             hint=hints,
-            prev_flow=state.get(f"{state_key}_flow"),
-            prev_img0=state.get(f"{state_key}_prev_side"),
-            prev_img1=state.get(f"{state_key}_prev_fish"),
+            prev_flow=prev_flow,
+            prev_img0=prev_side,
+            prev_img1=prev_fish,
             use_temporal=use_temporal,
-        )  # (2, 2, rows_f, ext_w)
+        )  # (B, 2, rows_f, ext_w)
 
     # phi-ramped warp of the fisheye toward the sides
     # (TestRenderStereoPanorama.cpp:483-503)
@@ -598,7 +618,7 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     warped = jnp.concatenate([rgb, alpha[:, None]], axis=1)
 
     # pad to full pano height (TestRenderStereoPanorama.cpp:538-546)
-    target_h = side_pano_2.shape[-2]
+    target_h = side_pano.shape[-2]
     warped = jnp.pad(
         warped, [(0, 0), (0, 0), (0, target_h - rows_f), (0, 0)]
     )
@@ -609,18 +629,54 @@ def _pole_to_side_flow(ctx: RenderContext, side_pano_2, fisheye, state_key, stat
     # stored in full-res pixel units at either resolution (the reader
     # multiplies by `scale` after its resize).
     if small_side is not None:
-        new_state = {
-            f"{state_key}_flow": flow_small / scale,
-            f"{state_key}_prev_side": small_side,
-            f"{state_key}_prev_fish": small_fish,
-        }
+        st = (flow_small / scale, small_side, small_fish)
     else:
-        new_state = {
-            f"{state_key}_flow": flow,
-            f"{state_key}_prev_side": ext_side,
-            f"{state_key}_prev_fish": ext_fish,
-        }
-    return warped, new_state
+        st = (flow, ext_side, ext_fish)
+    return warped, st
+
+
+def _poles_to_side_flow(
+    ctx: RenderContext, pano2, top_strip, bottom_strip, state, use_temporal
+):
+    """Both pole composites in ONE batched program (poles x eyes = B=4).
+
+    The top and bottom flows read disjoint row bands of the side panorama
+    (each pole band spans eqr_h*fov/pi rows from its own edge, and the
+    composite's nonzero-alpha region ends at phi_ramp_end < 90 deg), so
+    solving both from the PRE-composite panorama and compositing
+    sequentially matches the reference's sequential poleToSideFlowThread
+    order (TestRenderStereoPanorama.cpp:832-867) up to the deghost
+    blend's ~5e-5 zero-alpha leak (flatten_layers_deghost_prefer_base).
+    One batch-4 program instead of two batch-2 programs halves the
+    dominant staged compile (~19 min/pole at 6k through the compile
+    tunnel) and doubles the arithmetic batch of the bandwidth-bound
+    flow/sampler stages. Requires ctx.top_h == ctx.bottom_h."""
+    flipped0 = jnp.flip(pano2, axis=(-2, -1))
+    side4 = jnp.concatenate([pano2, flipped0])  # (4, 4, H, W)
+    fish4 = jnp.concatenate(
+        [
+            jnp.broadcast_to(top_strip[None], (2,) + top_strip.shape),
+            jnp.broadcast_to(bottom_strip[None], (2,) + bottom_strip.shape),
+        ]
+    )
+
+    def read(k):
+        t, b = state.get(f"top_{k}"), state.get(f"bottom_{k}")
+        if t is None or b is None:
+            return None
+        return jnp.concatenate([t, b])
+
+    prev = tuple(read(k) for k in ("flow", "prev_side", "prev_fish"))
+    warped4, st = _pole_flow_core(ctx, side4, fish4, prev, use_temporal)
+    pano2 = flatten_layers_deghost_prefer_base(pano2, warped4[:2])
+    flipped = jnp.flip(pano2, axis=(-2, -1))
+    flipped = flatten_layers_deghost_prefer_base(flipped, warped4[2:])
+    pano2 = jnp.flip(flipped, axis=(-2, -1))
+    new_state = {}
+    for i, k in enumerate(("flow", "prev_side", "prev_fish")):
+        new_state[f"top_{k}"] = st[i][:2]
+        new_state[f"bottom_{k}"] = st[i][2:]
+    return pano2, new_state
 
 
 # equatorial faces have compact per-tile source footprints once their x
@@ -726,6 +782,17 @@ def _cubemap(ctx: RenderContext, pano_rgb, warps_dev: dict | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _merge_poles(ctx: RenderContext) -> bool:
+    """Whether top+bottom pole composites can run as one batched program
+    (_poles_to_side_flow): both enabled and same strip geometry (the
+    standard rig's two fisheyes share a lens model, so this is the common
+    case)."""
+    cfg = ctx.config
+    return bool(
+        cfg.enable_top and cfg.enable_bottom and ctx.top_h == ctx.bottom_h
+    )
+
+
 def render_frame(
     ctx: RenderContext,
     side_images,
@@ -776,6 +843,7 @@ def render_frame(
     pano_r = _pad_to_height(pano_r, cfg.eqr_height)
     pano2 = jnp.stack([pano_l, pano_r])  # (2, 4, eqr_h, eqr_w)
 
+    top_strip = bottom_strip = None
     if cfg.enable_top:
         top_strip = _prepare_fisheye_strip(
             ctx,
@@ -785,15 +853,8 @@ def render_frame(
             cfg.std_alpha_feather_size,
             warp_dev=dw.get("top"),
         )
-        warped, st = _pole_to_side_flow(
-            ctx, pano2, top_strip, "top", state, use_temporal
-        )
-        new_state.update(st)
         if save_debug:
             debug["top_strip"] = top_strip
-            debug["top_warped"] = warped
-        pano2 = flatten_layers_deghost_prefer_base(pano2, warped)
-
     if cfg.enable_bottom:
         bottom_strip = _prepare_fisheye_strip(
             ctx,
@@ -804,16 +865,34 @@ def render_frame(
             alpha_min=True,
             warp_dev=dw.get("bottom"),
         )
-        flipped = jnp.flip(pano2, axis=(-2, -1))
-        warped, st = _pole_to_side_flow(
-            ctx, flipped, bottom_strip, "bottom", state, use_temporal
-        )
-        new_state.update(st)
         if save_debug:
             debug["bottom_strip"] = bottom_strip
-            debug["bottom_warped"] = warped
-        flipped = flatten_layers_deghost_prefer_base(flipped, warped)
-        pano2 = jnp.flip(flipped, axis=(-2, -1))
+
+    if _merge_poles(ctx) and not save_debug:
+        pano2, st = _poles_to_side_flow(
+            ctx, pano2, top_strip, bottom_strip, state, use_temporal
+        )
+        new_state.update(st)
+    else:
+        if cfg.enable_top:
+            warped, st = _pole_to_side_flow(
+                ctx, pano2, top_strip, "top", state, use_temporal
+            )
+            new_state.update(st)
+            if save_debug:
+                debug["top_warped"] = warped
+            pano2 = flatten_layers_deghost_prefer_base(pano2, warped)
+
+        if cfg.enable_bottom:
+            flipped = jnp.flip(pano2, axis=(-2, -1))
+            warped, st = _pole_to_side_flow(
+                ctx, flipped, bottom_strip, "bottom", state, use_temporal
+            )
+            new_state.update(st)
+            if save_debug:
+                debug["bottom_warped"] = warped
+            flipped = flatten_layers_deghost_prefer_base(flipped, warped)
+            pano2 = jnp.flip(flipped, axis=(-2, -1))
 
     outputs = _finalize_outputs(ctx, pano2, cubemap_warps=dw.get("cubemap"))
     if save_debug:
@@ -958,18 +1037,27 @@ def make_jitted_renderer(
         pano2 = shared["chunk"](ol, orr, fl, fr)
         _done(pano2)
         new_state.update(st)
-        if cfg.enable_top:
-            strip = shared["top_strip"](top_image, dw["top"])
-            _done(strip)
-            pano2, st = per_t["top"](pano2, strip, state)
+        if "poles" in per_t:
+            strip_t = shared["top_strip"](top_image, dw["top"])
+            _done(strip_t)
+            strip_b = shared["bottom_strip"](bottom_image, dw["bottom"])
+            _done(strip_b)
+            pano2, st = per_t["poles"](pano2, strip_t, strip_b, state)
             _done(pano2)
             new_state.update(st)
-        if cfg.enable_bottom:
-            strip = shared["bottom_strip"](bottom_image, dw["bottom"])
-            _done(strip)
-            pano2, st = per_t["bottom"](pano2, strip, state)
-            _done(pano2)
-            new_state.update(st)
+        else:
+            if cfg.enable_top:
+                strip = shared["top_strip"](top_image, dw["top"])
+                _done(strip)
+                pano2, st = per_t["top"](pano2, strip, state)
+                _done(pano2)
+                new_state.update(st)
+            if cfg.enable_bottom:
+                strip = shared["bottom_strip"](bottom_image, dw["bottom"])
+                _done(strip)
+                pano2, st = per_t["bottom"](pano2, strip, state)
+                _done(pano2)
+                new_state.update(st)
         out = shared["output"](pano2, shared["resize_mats"], dw.get("cubemap"))
         return out, new_state
 
@@ -1096,23 +1184,36 @@ def _staged_stage_jits(ctx: RenderContext, use_temporal: bool):
             )
             return overlap_l, overlap_r, flow_ltr, flow_rtl, ring_state
 
-        @jax.jit
-        def top_stage(pano2, strip, state):
-            warped, st = _pole_to_side_flow(
-                ctx, pano2, strip, "top", state, use_temporal
-            )
-            return flatten_layers_deghost_prefer_base(pano2, warped), st
+        per_t = {"flow": flow_stage}
+        if _merge_poles(ctx):
 
-        @jax.jit
-        def bottom_stage(pano2, strip, state):
-            flipped = jnp.flip(pano2, axis=(-2, -1))
-            warped, st = _pole_to_side_flow(
-                ctx, flipped, strip, "bottom", state, use_temporal
-            )
-            flipped = flatten_layers_deghost_prefer_base(flipped, warped)
-            return jnp.flip(flipped, axis=(-2, -1)), st
+            @jax.jit
+            def poles_stage(pano2, strip_t, strip_b, state):
+                return _poles_to_side_flow(
+                    ctx, pano2, strip_t, strip_b, state, use_temporal
+                )
 
-        per_t = {"flow": flow_stage, "top": top_stage, "bottom": bottom_stage}
+            per_t["poles"] = poles_stage
+        else:
+
+            @jax.jit
+            def top_stage(pano2, strip, state):
+                warped, st = _pole_to_side_flow(
+                    ctx, pano2, strip, "top", state, use_temporal
+                )
+                return flatten_layers_deghost_prefer_base(pano2, warped), st
+
+            @jax.jit
+            def bottom_stage(pano2, strip, state):
+                flipped = jnp.flip(pano2, axis=(-2, -1))
+                warped, st = _pole_to_side_flow(
+                    ctx, flipped, strip, "bottom", state, use_temporal
+                )
+                flipped = flatten_layers_deghost_prefer_base(flipped, warped)
+                return jnp.flip(flipped, axis=(-2, -1)), st
+
+            per_t["top"] = top_stage
+            per_t["bottom"] = bottom_stage
         cache[use_temporal] = per_t
 
     return shared, per_t

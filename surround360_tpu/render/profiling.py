@@ -115,6 +115,7 @@ def stage_breakdown(
     )
     from ..views.novel_view import render_chunk_pair
     from .panorama import (
+        _merge_poles,
         _pad_to_height,
         _pole_to_side_flow,
         _prepare_fisheye_strip,
@@ -175,6 +176,7 @@ def stage_breakdown(
         "fisheye_strip": set(),
         "pole_flow_solve": {"novel_view", "fisheye_strip"},
         "pole_flow_composite_one": {"novel_view", "fisheye_strip"},
+        "pole_merged": {"novel_view", "fisheye_strip"},
         "full_frame": set(),
     }
     if stages is None:
@@ -322,6 +324,21 @@ def stage_breakdown(
                     results["pole_flow_composite_one"]
                     - results["pole_flow_solve"],
                 )
+
+        if want("pole_merged") and _merge_poles(ctx):
+            # both poles in one batch-4 program (_poles_to_side_flow):
+            # compare against 2x pole_flow_composite_one
+            from .panorama import _poles_to_side_flow
+
+            merged_fn = jax.jit(
+                lambda p2, ft, fb: _poles_to_side_flow(
+                    ctx, p2, ft, fb, {}, False
+                )[0]
+            )
+            record(
+                "pole_merged",
+                _time(merged_fn, pano2, top_strip, top_strip, reps=reps),
+            )
 
     if want("full_frame"):
         frame_fn = jax.jit(

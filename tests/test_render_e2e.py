@@ -130,6 +130,48 @@ class TestFullSphereRender:
         p_fs = psnr(left[:, 4:-4], np.asarray(expect_fs)[:, 4:-4])
         assert p_fs > 33.0, f"full-sphere PSNR: {p_fs:.1f} dB"
 
+    def test_merged_poles_match_sequential(self, rig, views, monkeypatch):
+        """The batched top+bottom pole program (_poles_to_side_flow) must
+        match the sequential two-program path: the only semantic delta is
+        the bottom flow reading the pre-top-composite band, which differs
+        just by the deghost blend's ~5e-5 zero-alpha leak."""
+        import surround360_tpu.render.panorama as P
+
+        cfg = RenderConfig(
+            eqr_width=280,
+            eqr_height=140,
+            side_flow_alg="pixflow_tpu",
+            polar_flow_alg="pixflow_tpu",
+            enable_top=True,
+            enable_bottom=True,
+        )
+        ctx = build_render_context(rig, cfg)
+        side_images = jnp.asarray(
+            np.stack(
+                [views[i] for i in [rig.ids.index(s) for s in rig.side_ids]]
+            )
+        )
+        top = jnp.asarray(views[rig.top_camera_index])
+        bottom = jnp.asarray(views[rig.bottom_camera_index])
+        assert P._merge_poles(ctx)
+        out_m, st_m = render_frame(ctx, side_images, top, bottom)
+        monkeypatch.setattr(P, "_merge_poles", lambda _ctx: False)
+        out_s, st_s = render_frame(ctx, side_images, top, bottom)
+        a = np.asarray(out_m["equirect"])
+        b = np.asarray(out_s["equirect"])
+        assert np.abs(a - b).mean() < 1e-3, np.abs(a - b).mean()
+        p = psnr(a, b)
+        assert p > 45.0, f"merged-vs-sequential poles: {p:.1f} dB"
+        # identical temporal-state format (keys and shapes)
+        assert set(st_m) == set(st_s)
+        for k in st_m:
+            assert st_m[k].shape == st_s[k].shape, k
+        # and a temporal second frame chains through the merged program
+        out_2, _ = render_frame(
+            ctx, side_images, top, bottom, state=st_m, use_temporal=True
+        )
+        assert np.isfinite(np.asarray(out_2["equirect"])).all()
+
     def test_staged_renderer_matches_monolithic(self, rig, views):
         """The preset-scale staged driver (sequential jitted stages) must
         produce the same frame and state as the single-program path."""
