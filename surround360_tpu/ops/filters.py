@@ -101,7 +101,16 @@ def iir_lowpass_2d(
     return out
 
 
-@partial(jax.jit, static_argnames=("amount", "noise_core", "h_boundary", "v_boundary"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "amount",
+        "noise_core",
+        "h_boundary",
+        "v_boundary",
+        "iir_amount",
+    ),
+)
 def sharpen_iir(
     img,
     amount: float,

@@ -151,6 +151,24 @@ class TestFilters:
         assert out.max() > 0.605
         assert out.min() < 0.495
 
+    def test_sharpen_renderer_kwargs_trace(self):
+        # the staged output stage's exact call shape: iir_amount passed
+        # as a keyword must be static under jit (it gates the band-matrix
+        # construction and is asserted on in Python) — regression for the
+        # TracerBoolConversionError that killed the 6k preset bench
+        img = jnp.asarray(_rand_img(24, 48, 1, seed=3)[..., 0])
+        out = np.asarray(
+            sharpen_iir(
+                img[None],
+                amount=1.25,
+                iir_amount=0.25,
+                h_boundary="wrap",
+                v_boundary="reflect",
+            )
+        )
+        assert out.shape == (1, 24, 48)
+        assert np.isfinite(out).all()
+
     def test_median_filter_matches_opencv(self):
         img = (_rand_img(32, 32, 1, seed=9)[..., 0] * 255).astype(np.uint8)
         want = cv2.medianBlur(img, 5).astype(np.float32) / 255.0
