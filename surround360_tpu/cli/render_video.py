@@ -84,14 +84,31 @@ def render_video(
             )
         return renderers[use_temporal]
 
+    # the saved state pickle carries BOTH the ring temporal state and the
+    # pole-removal temporal prior ("pole:"-prefixed keys): the reference
+    # persists the pole flow per frame and re-reads it on the next
+    # invocation (PoleRemoval.cpp:120-128), so a resumed render must
+    # restore it or the prior silently resets
     state = None
+    pole_state = {}
     if resume_state:
         with open(resume_state, "rb") as f:
-            state = pickle.load(f)
-        state = {k: jnp.asarray(v) for k, v in state.items()}
-        log.info("resumed temporal state from %s", resume_state)
-
-    pole_state = {}
+            blob = pickle.load(f)
+        pole_state = {
+            k[len("pole:"):]: jnp.asarray(v)
+            for k, v in blob.items()
+            if k.startswith("pole:")
+        }
+        ring = {
+            k: jnp.asarray(v)
+            for k, v in blob.items()
+            if not k.startswith("pole:")
+        }
+        state = ring or None
+        log.info(
+            "resumed temporal state from %s (%d ring keys, %d pole keys)",
+            resume_state, len(ring), len(pole_state),
+        )
     for frame in range(start_frame, end_frame + 1):
         frame_name = f"{frame:06d}"
         t0 = time.time()
@@ -214,10 +231,14 @@ def render_video(
             )
         if save_state_dir:
             os.makedirs(save_state_dir, exist_ok=True)
+            blob = {k: np.asarray(v) for k, v in state.items()}
+            blob.update(
+                {f"pole:{k}": np.asarray(v) for k, v in pole_state.items()}
+            )
             with open(
                 os.path.join(save_state_dir, f"state_{frame_name}.pkl"), "wb"
             ) as f:
-                pickle.dump({k: np.asarray(v) for k, v in state.items()}, f)
+                pickle.dump(blob, f)
             # GC state two frames back (batch_process_video.py:212-228)
             stale = os.path.join(
                 save_state_dir, f"state_{frame - 2:06d}.pkl"

@@ -7,15 +7,27 @@ HBM — measured 593 GiB of traffic for the 6k projection stage alone
 (~300x the image data; BASELINE.md round-3 roofline). This kernel fuses
 window extraction, one-hot construction and both contractions in VMEM:
 
-  per grid step (tile t, lead l):
+  per grid step (tile t, lead l, group g):
     DMA  padded[l, :, sy[t,l]:sy[t,l]+BH, sx[t,l]:sx[t,l]+BW] -> VMEM
-    ohx  (P, BW), ohy (P, BH) built in-register from the tile's coords
-    out[t, l, c] = sum_h ohy * (ohx . win[c])      (MXU + VPU reduce)
+         (double-buffered: step (t, l)'s window loads while (t, l)-1
+         computes, so the copy rides under the MXU work)
+    ohx  (Pg, BW), ohy (Pg, BH) built in-register from the group's coords
+    out[t, l, c, g*Pg:(g+1)*Pg] = sum_h ohy * (ohx . win[c])
 
 Window origins ``sy``/``sx`` ride the scalar-prefetch channel, so they
 may be host-constant (static lens warps — the banded remap's per-tile
 bounds) or traced (displacement-following residual windows computed from
 the frame's own flow). Only the windows and the output touch HBM.
+
+``group`` > 1 splits each (tile, lead)'s P sample coords into G
+sequential compute steps sharing ONE window DMA — the flow solver folds
+~13 candidate displacement fields into P, whose one-hot operands would
+otherwise exceed VMEM (round-4; see flow/pixflow.py's ranking sampler).
+
+``compute_dtype="bfloat16"`` casts the one-hots and window to bf16 for
+single-pass MXU contractions (f32 accumulation) — the same semantics as
+the XLA samplers' precision="default" mode that the flow candidate
+RANKING already ships with; exact paths (output warps) stay float32.
 
 Semantics match `ops/window_sampler.py`: exact bilinear/bicubic wherever
 every tap lands inside the tile's window; beyond-window taps contribute
@@ -36,28 +48,41 @@ import numpy as np
 
 __all__ = ["fused_window_sample", "pallas_window_supported"]
 
-# VMEM budget for one grid step's buffers (window + one-hots + stage-A
-# temp + coord/out blocks), below the ~16 MB/core ceiling with headroom
-# for Mosaic's own double-buffering of the small blocks.
+# VMEM budget for one grid step's buffers (double-buffered window +
+# one-hots + stage-A temp + coord/out blocks), below the ~16 MB/core
+# ceiling with headroom for Mosaic's own double-buffering of the small
+# blocks.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _step_vmem_bytes(C, P, bh, bw, L=1):
-    win = C * bh * bw * 4
-    onehots = P * (bh + bw) * 4
-    tmp = P * bh * 4
-    blocks = 2 * L * P * 4 + C * P * 4
+def _step_vmem_bytes(C, P, bh, bw, L=1, group=1, compute_dtype="float32"):
+    Pg = -(-P // group)
+    dt = 2 if compute_dtype == "bfloat16" else 4
+    win = 2 * C * bh * bw * 4  # double-buffered, DMA'd at source dtype
+    onehots = Pg * (bh + bw) * dt
+    # f32 transient of the one-hot build before the bf16 cast (worst axis)
+    onehots += Pg * max(bh, bw) * 4
+    tmp = Pg * bh * 4
+    blocks = 2 * (2 * P * 4) + 2 * (C * P * 4)  # coords + out, dbuffered
     return win + onehots + tmp + blocks
 
 
-def pallas_window_supported(C, P, bh, bw, L=1) -> bool:
-    return _step_vmem_bytes(C, P, bh, bw, L) <= _VMEM_BUDGET
+def pallas_window_supported(
+    C, P, bh, bw, L=1, group=1, compute_dtype="float32"
+) -> bool:
+    return (
+        _step_vmem_bytes(C, P, bh, bw, L, group, compute_dtype)
+        <= _VMEM_BUDGET
+    )
 
 
 def _make_kernel(
-    C, L, P, bh, bw, pad_y, pad_x, n_y, n_x, interpolation, border
+    C, L, P, G, bh, bw, pad_y, pad_x, n_y, n_x, interpolation, border,
+    compute_dtype,
 ):
     a = -0.75
+    Pg = P // G
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     def k01(s):
         return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
@@ -66,9 +91,9 @@ def _make_kernel(
         return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
 
     def onehot(local, origin, pad, n, b):
-        """(P, b) interpolation matrix. local: (P,) coords relative to the
-        window start; origin: scalar window start in PADDED coords (for
-        absolute-index validity)."""
+        """(Pg, b) interpolation matrix in compute dtype. local: (Pg,)
+        coords relative to the window start; origin: scalar window start
+        in PADDED coords (for absolute-index validity)."""
         l0 = jnp.floor(local)
         t = local - l0
         i0 = l0.astype(jnp.int32)
@@ -77,8 +102,8 @@ def _make_kernel(
                     (2, k12(2.0 - t))]
         else:
             taps = [(0, 1.0 - t), (1, t)]
-        grid = jax.lax.broadcasted_iota(jnp.int32, (P, b), 1)
-        acc = jnp.zeros((P, b), jnp.float32)
+        grid = jax.lax.broadcasted_iota(jnp.int32, (Pg, b), 1)
+        acc = jnp.zeros((Pg, b), cdt)
         for off, w in taps:
             idx = i0 + off  # local index
             idx_abs = idx + origin - pad  # absolute source index
@@ -87,7 +112,7 @@ def _make_kernel(
             else:  # clamp: fold the absolute index, then relocalize
                 idx = jnp.clip(idx_abs, 0, n - 1) + pad - origin
                 wv = w
-            acc = acc + (grid == idx[:, None]) * wv[:, None]
+            acc = acc + ((grid == idx[:, None]) * wv[:, None]).astype(cdt)
         return acc
 
     def kernel(sy_ref, sx_ref, padded_ref, xt_ref, yt_ref, out_ref, win, sem):
@@ -96,32 +121,72 @@ def _make_kernel(
 
         t = pl.program_id(0)
         l = pl.program_id(1)
-        # origins are pre-quantized to the (8, 128) memref tiling — the
-        # hint lets Mosaic prove the DMA slice is tile-aligned. They ride
-        # SMEM flattened to 1-D: 2-D SMEM operands are lane-padded to 128
-        # and (T, L) would blow the 1 MB SMEM budget.
-        sy = pl.multiple_of(sy_ref[t * L + l], 8)
-        sx = pl.multiple_of(sx_ref[t * L + l], 128)
-        copy = pltpu.make_async_copy(
-            padded_ref.at[l, :, pl.ds(sy, bh), pl.ds(sx, bw)], win, sem
-        )
-        copy.start()
-        # coords arrive in padded units; localize to this window (the
-        # coord blocks span L — Mosaic requires the last-two block dims
-        # to span or align — so select this step's lead row here)
-        x = xt_ref[0, l] - sx.astype(jnp.float32)
-        y = yt_ref[0, l] - sy.astype(jnp.float32)
+        g = pl.program_id(2)
+        j = t * L + l
+        n_wins = pl.num_programs(0) * L
+
+        def dma(jj, slot):
+            # origins are pre-quantized to the (8, 128) memref tiling — the
+            # hint lets Mosaic prove the DMA slice is tile-aligned. They
+            # ride SMEM flattened to 1-D: 2-D SMEM operands are lane-padded
+            # to 128 and (T, L) would blow the 1 MB SMEM budget.
+            sy = pl.multiple_of(sy_ref[jj], 8)
+            sx = pl.multiple_of(sx_ref[jj], 128)
+            lj = jj % L if L > 1 else 0
+            return pltpu.make_async_copy(
+                padded_ref.at[lj, :, pl.ds(sy, bh), pl.ds(sx, bw)],
+                win.at[slot],
+                sem.at[slot],
+            )
+
+        # double buffering: at each (t, l)'s first group step, kick off the
+        # NEXT window's DMA so it overlaps this window's G compute steps
+        @pl.when(g == 0)
+        def _():
+            @pl.when(j == 0)
+            def _():
+                dma(0, 0).start()
+
+            @pl.when(j + 1 < n_wins)
+            def _():
+                dma(j + 1, (j + 1) % 2).start()
+
+        sy = pl.multiple_of(sy_ref[j], 8)
+        sx = pl.multiple_of(sx_ref[j], 128)
+        # coords arrive in padded units; localize to this window. The
+        # group's slice start g*Pg is lane-aligned (Pg multiple of 128).
+        x = xt_ref[0, 0, pl.ds(g * Pg, Pg)] - sx.astype(jnp.float32)
+        y = yt_ref[0, 0, pl.ds(g * Pg, Pg)] - sy.astype(jnp.float32)
         ohx = onehot(x, sx, pad_x, n_x, bw)
         ohy = onehot(y, sy, pad_y, n_y, bh)
-        copy.wait()
+
+        @pl.when(g == 0)
+        def _():
+            dma(j, j % 2).wait()
+
+        wslot = win.at[j % 2]
         for c in range(C):
+            wc = wslot[c]
+            if compute_dtype == "bfloat16":
+                wc = wc.astype(jnp.bfloat16)
             tmp = jax.lax.dot_general(
                 ohx,
-                win[c],  # (bh, bw)
+                wc,  # (bh, bw)
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (P, bh)
-            out_ref[0, 0, c] = jnp.sum(tmp * ohy, axis=-1)
+                # f32 mode must ask for multi-pass explicitly: Mosaic's
+                # default lowers f32 matmuls to ONE bf16 MXU pass, which
+                # round-4 measured as ~5e-3 sampling error on shipped
+                # "exact" warps (projection / novel view)
+                precision=(
+                    None
+                    if compute_dtype == "bfloat16"
+                    else jax.lax.Precision.HIGHEST
+                ),
+            )  # (Pg, bh)
+            out_ref[0, 0, c, pl.ds(g * Pg, Pg)] = jnp.sum(
+                tmp * ohy.astype(jnp.float32), axis=-1
+            )
 
     return kernel
 
@@ -130,7 +195,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "bh", "bw", "pad_y", "pad_x", "n_y", "n_x", "interpolation",
-        "border",
+        "border", "group", "compute_dtype",
     ),
 )
 def fused_window_sample(
@@ -148,6 +213,8 @@ def fused_window_sample(
     n_x: int,
     interpolation: str = "bicubic",
     border: str = "constant",
+    group: int = 1,
+    compute_dtype: str = "float32",
 ):
     """padded: (L, C, Hp, Wp) source, already padded by (pad_y, pad_x) on
     the low side (high-side padding must make every window slice
@@ -156,37 +223,50 @@ def fused_window_sample(
     of (8, 128) — the VMEM/HBM memref tiling; DMA slice starts must be
     tile-aligned. xt/yt: (T, L, P) float32 sample coords in PADDED units
     (absolute + pad). Returns (T, L, C, P).
+
+    group: split each (tile, lead)'s P coords into this many sequential
+    compute steps sharing one window DMA (P must divide into lane-aligned
+    P/group chunks). compute_dtype: "float32" (exact) or "bfloat16"
+    (single-pass MXU, f32 accumulation) for the contraction operands.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L, C, Hp, Wp = padded.shape
-    T = sy.shape[0]
+    T = sy.shape[0] if sy.ndim > 1 else sy.reshape(-1).shape[0] // max(L, 1)
     P = xt.shape[-1]
+    assert P % group == 0 and (P // group) % 128 == 0, (P, group)
     kernel = _make_kernel(
-        C, L, P, bh, bw, pad_y, pad_x, n_y, n_x, interpolation, border
+        C, L, P, group, bh, bw, pad_y, pad_x, n_y, n_x, interpolation,
+        border, compute_dtype,
     )
+    T = xt.shape[0]
+    # coords as (T*L, 1, P) so per-(t, l) blocks are legal (block (1,1,P):
+    # the second-to-last dim spans its size-1 array dim) and small — a
+    # (1, L, P) block would hold every lead's coords in VMEM per step
+    xt2 = xt.reshape(T * L, 1, P)
+    yt2 = yt.reshape(T * L, 1, P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T, L),
+        grid=(T, L, group),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (1, L, P), lambda t, l, *_: (t, 0, 0),
+                (1, 1, P), lambda t, l, g, *_: (t * L + l, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, L, P), lambda t, l, *_: (t, 0, 0),
+                (1, 1, P), lambda t, l, g, *_: (t * L + l, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, C, P), lambda t, l, *_: (t, l, 0, 0),
+            (1, 1, C, P), lambda t, l, g, *_: (t, l, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, bh, bw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, C, bh, bw), padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -194,4 +274,4 @@ def fused_window_sample(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, L, C, P), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(sy.reshape(-1), sx.reshape(-1), padded, xt, yt)
+    )(sy.reshape(-1), sx.reshape(-1), padded, xt2, yt2)

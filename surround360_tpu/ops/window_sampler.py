@@ -57,6 +57,7 @@ __all__ = [
     "sample_displaced",
     "sample_displaced_residual",
     "sampler_tile_chunk",
+    "make_window_sampler",
 ]
 
 
@@ -797,3 +798,156 @@ def sample_displaced(
     return sample_windows(
         win, plan, x, y, tile_chunk=tile_chunk, precision=precision
     )
+
+
+def _pick_kernel_group(C, P, bh, bw, L, compute_dtype):
+    """Smallest G splitting P into lane-aligned VMEM-fitting groups."""
+    from .pallas_remap import pallas_window_supported
+
+    if P % 128:
+        return 0
+    for G in range(1, P // 128 + 1):
+        if P % G or (P // G) % 128:
+            continue
+        if pallas_window_supported(C, P, bh, bw, L, G, compute_dtype):
+            return G
+    return 0
+
+
+def make_window_sampler(
+    img,
+    out_hw,
+    halo_y: int,
+    halo_x: int,
+    interpolation: str = "bilinear",
+    border: str = "clamp",
+    tr: int = 8,
+    tc: int = 128,
+    precision: str = "float32",
+    xla_plan: WindowPlan | None = None,
+    xla_tile_chunk: int = 0,
+    backend: str = "auto",
+    min_out_px: int = 16384,
+):
+    """Reusable sampler fn(x, y) over a fixed (B, C, H, W) source.
+
+    Coords x/y: (E..., B, Ho, Wo) absolute source coordinates (extra
+    leading dims = flow candidates sharing the source); returns
+    (E..., B, C, Ho, Wo).
+
+    On TPU this routes through the fused Pallas window kernel with STATIC
+    tile origins (ty*tr, aligned tx*tc): per-tile windows DMA into VMEM
+    (double-buffered) and the one-hot operands / stage-A temps never
+    touch HBM. The flow solver re-samples one gradient image ~60x per
+    pyramid level, which made the XLA einsum route the renderer's top
+    HBM consumer at preset scale (side flow 174 GiB/frame at 6k —
+    BASELINE.md round-4 roofline). precision "default" = bf16 single-pass
+    MXU contractions (the XLA samplers' meaning); "float32" = exact.
+
+    Off TPU — or when the plan exceeds the kernel's VMEM budget, or the
+    output is below min_out_px (tiny coarse pyramid levels, where dispatch
+    latency dominates either way) — falls back to build_windows +
+    sample_windows on ``xla_plan`` (callers pass their tuned/budgeted plan
+    so non-TPU behavior is unchanged).
+    """
+    import jax
+
+    B, C, H, W = img.shape
+    Ho, Wo = out_hw
+
+    use_pallas = backend != "xla" and jax.default_backend() == "tpu"
+    plan = None
+    if use_pallas and Ho * Wo >= min_out_px:
+        plan = plan_windows(
+            (H, W), (Ho, Wo), halo_y, halo_x, interpolation, border, tr, tc
+        )
+        # origins must sit on the (8, 128) memref tiling: ty*tr is aligned
+        # for tr multiple of 8; tx*tc quantizes down with window slack
+        if plan.tr % 8 or (plan.nty > 1 and plan.tr % 8):
+            plan = None
+    if plan is not None:
+        p = plan
+        bh_k = -(-p.bh // 8) * 8
+        xq = 0 if p.ntx <= 1 else (p.tc % 128)
+        bw_k = -(-(p.bw + (127 if xq else 0)) // 128) * 128
+        Pt = p.tr * p.tc
+        group_probe = _pick_kernel_group(
+            C, -(-Pt // 128) * 128, bh_k, bw_k, B,
+            "bfloat16" if precision == "default" else "float32",
+        )
+        if group_probe == 0:
+            plan = None
+    if plan is None:
+        # XLA fallback: exactly the pre-round-4 path
+        if xla_plan is None:
+            xla_plan = plan_windows(
+                (H, W), (Ho, Wo), halo_y, halo_x, interpolation, border,
+                tr, tc,
+            )
+        windows = build_windows(img, xla_plan)
+
+        def fn_xla(x, y):
+            return sample_windows(
+                windows, xla_plan, x, y,
+                tile_chunk=xla_tile_chunk, precision=precision,
+            )
+
+        return fn_xla
+
+    import jax.numpy as jnp
+
+    from .pallas_remap import fused_window_sample
+
+    p = plan
+    compute_dtype = "bfloat16" if precision == "default" else "float32"
+    padded = _padded_source(img, p)
+    Hp, Wp = padded.shape[-2:]
+    pady2 = max(0, (p.nty - 1) * p.tr + bh_k - Hp)
+    T = p.nty * p.ntx
+    tiles = np.arange(T)
+    sy = ((tiles // p.ntx) * p.tr).astype(np.int32)
+    sx_raw = ((tiles % p.ntx) * p.tc).astype(np.int32)
+    sx = (sx_raw // 128) * 128
+    padx2 = max(0, int(sx.max()) + bw_k - Wp)
+    padded = jnp.pad(padded, [(0, 0), (0, 0), (0, pady2), (0, padx2)])
+    sy = jnp.asarray(np.repeat(sy[:, None], B, 1))
+    sx = jnp.asarray(np.repeat(sx[:, None], B, 1))
+    Pt = p.tr * p.tc
+    groups: dict[int, int] = {}
+
+    def fn(x, y):
+        extra_shape = x.shape[: x.ndim - 3]
+        E = int(np.prod(extra_shape, dtype=np.int64)) if extra_shape else 1
+        xt = _tile_coords(x, p)  # (T, E..., B, Pt)
+        yt = _tile_coords(y, p)
+        if extra_shape:
+            ne = len(extra_shape)
+            perm = (0, 1 + ne) + tuple(range(1, 1 + ne)) + (xt.ndim - 1,)
+            xt = xt.transpose(perm).reshape(T, B, E * Pt)
+            yt = yt.transpose(perm).reshape(T, B, E * Pt)
+        P0 = E * Pt
+        P = -(-P0 // 128) * 128
+        if P != P0:
+            xt = jnp.pad(xt, [(0, 0), (0, 0), (0, P - P0)], mode="edge")
+            yt = jnp.pad(yt, [(0, 0), (0, 0), (0, P - P0)], mode="edge")
+        if P not in groups:
+            groups[P] = _pick_kernel_group(C, P, bh_k, bw_k, B, compute_dtype)
+        G = groups[P]
+        if G == 0:  # shouldn't happen (probed at factory time), be safe
+            G = P // 128
+        out = fused_window_sample(
+            padded, sy, sx,
+            xt + float(p.pad_x), yt + float(p.pad_y),
+            bh=bh_k, bw=bw_k, pad_y=p.pad_y, pad_x=p.pad_x,
+            n_y=H, n_x=W, interpolation=interpolation, border=border,
+            group=G, compute_dtype=compute_dtype,
+        )  # (T, B, C, P)
+        out = out[..., :P0].reshape(T, B, C, E, Pt)
+        out = out.transpose(0, 3, 1, 2, 4)  # (T, E, B, C, Pt)
+        out = out.reshape(p.nty, p.ntx, E, B, C, p.tr, p.tc)
+        out = out.transpose(2, 3, 4, 0, 5, 1, 6)
+        out = out.reshape(E, B, C, p.nty * p.tr, p.ntx * p.tc)
+        out = out[..., : p.Ho, : p.Wo]
+        return out.reshape(extra_shape + (B, C, p.Ho, p.Wo))
+
+    return fn

@@ -816,8 +816,10 @@ def render_frame(
     pole-removal combine when enabled — see render.pole).
     state: temporal-regularization pytree from the previous frame (or {}).
 
-    Returns (outputs dict, new_state). outputs: "equirect" (4, 2*h, w)
-    stereo stacked L over R; optional "cubemap".
+    Returns (outputs dict, new_state). outputs: "equirect" (3, 2*h, w)
+    RGB stereo stacked L over R (alpha is dropped at finalize, matching
+    the reference's 3-channel eqr PNGs; h/w are the final resize target
+    when configured); optional "cubemap".
     """
     cfg = ctx.config
     state = state or {}

@@ -219,3 +219,85 @@ class TestRunAll:
         )
         runtimes = open(os.path.join(dest, "runtimes.txt")).read()
         assert "unpack:" in runtimes and "render:" in runtimes
+
+
+class TestResumeParity:
+    def test_pole_state_survives_resume(self, tmp_path):
+        """A render interrupted after frame 1 and resumed for frame 2 must
+        bit-match the uninterrupted 3-frame render, INCLUDING the
+        pole-removal temporal prior — the reference persists the pole flow
+        per frame and re-reads it (PoleRemoval.cpp:120-128). The scene
+        varies per frame so a silently-reset prior produces a different
+        frame 2."""
+        rig = make_ring_rig().rescaled(0.03125)  # 64 px cameras
+        rig_path = str(tmp_path / "rig.json")
+        save_rig(rig_path, rig)
+        views = render_camera_views(rig)
+        H, W = views[0].shape[-2:]
+        cy, cx = H // 2, W // 2
+
+        # per-camera pole masks (red = pole), drawn where the synthetic
+        # pole is painted into each bottom camera
+        masks_dir = tmp_path / "pole_masks"
+        masks_dir.mkdir()
+        mask_boxes = {
+            rig.ids[rig.bottom_camera_index]: (cy - 8, cy + 8, cx - 6, cx + 6),
+            rig.ids[rig.bottom_camera2_index]: (cy - 22, cy - 10, cx + 8, cx + 20),
+        }
+        for cam_id, (y0, y1, x0, x1) in mask_boxes.items():
+            m = np.zeros((4, H, W), np.float32)
+            m[0, y0:y1, x0:x1] = 1.0
+            m[3] = 1.0
+            write_image(str(masks_dir / f"{cam_id}.png"), m)
+
+        imgs = tmp_path / "imgs"
+        bottom2_id = rig.ids[rig.bottom_camera2_index]
+        for frame in range(3):
+            for i, cam_id in enumerate(rig.ids):
+                img = np.asarray(views[i]).copy()
+                # ONLY the secondary bottom's content drifts per frame, so
+                # the primary<->secondary ALIGNMENT flow (the quantity the
+                # pole prior regularizes) changes every frame and frame 2
+                # genuinely depends on the frame-1 prior. Rolling the whole
+                # scene uniformly keeps the relative alignment identical
+                # and makes the assertion vacuous.
+                if cam_id == bottom2_id:
+                    img[:3] = np.roll(img[:3], 2 * frame, axis=-1)
+                if cam_id in mask_boxes:
+                    y0, y1, x0, x1 = mask_boxes[cam_id]
+                    img[:3, y0:y1, x0:x1] = 0.05
+                d = imgs / cam_id
+                d.mkdir(exist_ok=True, parents=True)
+                write_image(str(d / f"{frame:06d}.png"), img)
+
+        cfg = RenderConfig(
+            eqr_width=140,
+            eqr_height=70,
+            enable_bottom=True,
+            enable_pole_removal=True,
+            side_flow_alg="pixflow_tpu",
+            polar_flow_alg="pixflow_tpu",
+            poleremoval_flow_alg="pixflow_tpu",
+            # the default 31-px feather leaves no alpha>0.9 gate area at
+            # this 64-px fixture scale, which silences the pole flow (and
+            # with it the prior this test exists to exercise)
+            std_alpha_feather_size=9,
+        )
+        kw = dict(pole_masks_dir=str(masks_dir))
+
+        out_a = str(tmp_path / "uninterrupted")
+        render_video(rig_path, str(imgs), out_a, 0, 2, cfg,
+                     save_state_dir=str(tmp_path / "state_a"), **kw)
+
+        out_b = str(tmp_path / "resumed")
+        render_video(rig_path, str(imgs), out_b, 0, 1, cfg,
+                     save_state_dir=str(tmp_path / "state_b"), **kw)
+        render_video(
+            rig_path, str(imgs), out_b, 2, 2, cfg,
+            resume_state=str(tmp_path / "state_b" / "state_000001.pkl"),
+            **kw,
+        )
+
+        a = read_image_rgba(os.path.join(out_a, "eqr_frames", "eqr_000002.png"))
+        b = read_image_rgba(os.path.join(out_b, "eqr_frames", "eqr_000002.png"))
+        np.testing.assert_array_equal(a, b)
