@@ -43,9 +43,8 @@ import numpy as np
 from ..ops.filters import median_filter, median_filter_5x5_separable
 from ..ops.resize import gaussian_blur, resize_bilinear, resize_cubic
 from ..ops.window_sampler import (
-    build_windows,
+    make_window_sampler,
     plan_windows_budgeted,
-    sample_windows,
 )
 
 HINT_UNKNOWN = 0
@@ -447,7 +446,6 @@ def _propagation_and_search(
         elems_per_px=_win_elems_per_px,
         max_window_elems=WINDOW_STACK_MAX_ELEMS,
     )
-    i1_windows = build_windows(I1g, plan)
 
     def _sampler_budget(pl):
         """(candidate group size, tile_chunk) so one contraction's one-hot
@@ -461,13 +459,22 @@ def _propagation_and_search(
         return group, chunk
 
     cand_group, tile_chunk = _sampler_budget(plan)
-    base_sample_fn = partial(
-        sample_windows,
-        i1_windows,
-        plan,
-        tile_chunk=tile_chunk,
+    # On TPU the error-field sampler routes through the fused Pallas
+    # window kernel (static tile origins; one-hots + stage-A temps stay in
+    # VMEM) — the XLA einsum route's HBM transients made side flow the top
+    # bandwidth consumer at preset scale (174 GiB/frame at 6k, round-4
+    # roofline). Off TPU / unsupported geometry it falls back to the exact
+    # pre-round-4 build_windows + sample_windows path on the same plan.
+    base_sample_fn = make_window_sampler(
+        I1g, (H, W), halo_y, halo_x, "bilinear", "clamp",
+        tr=8, tc=128,
         precision=params.error_sampler_precision,
+        xla_plan=plan, xla_tile_chunk=tile_chunk,
     )
+    if getattr(base_sample_fn, "backend", "xla") == "pallas":
+        # kernel groups bound VMEM internally: fold every candidate into
+        # one call so ranking is a single kernel launch per round
+        cand_group = 16
 
     # Level rebasing (residual sampling): warp the I1 gradients ONCE by
     # the level's incoming flow — smooth and stable (it just passed the
@@ -502,16 +509,20 @@ def _propagation_and_search(
             elems_per_px=_win_elems_per_px,
             max_window_elems=WINDOW_STACK_MAX_ELEMS,
         )
-        winJ = build_windows(J, plan_r)
         cand_group, tile_chunk_r = _sampler_budget(plan_r)
+        res_sampler = make_window_sampler(
+            J, (H, W), r_halo, r_halo, "bilinear", "clamp",
+            tr=8, tc=128,
+            precision=params.error_sampler_precision,
+            xla_plan=plan_r, xla_tile_chunk=tile_chunk_r,
+        )
+        if getattr(res_sampler, "backend", "xla") == "pallas":
+            cand_group = 16
 
         def sample_fn(mx, my):
             qx = jnp.clip(mx - f0x, 0.0, W - 2.0)
             qy = jnp.clip(my - f0y, 0.0, H - 2.0)
-            return sample_windows(
-                winJ, plan_r, qx, qy, tile_chunk=tile_chunk_r,
-                precision=params.error_sampler_precision,
-            )
+            return res_sampler(qx, qy)
     else:
         sample_fn = base_sample_fn
 

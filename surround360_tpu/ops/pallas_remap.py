@@ -4,7 +4,7 @@ The XLA window samplers (`ops/window_sampler.py`, `ops/remap.py`'s banded
 static remap) express interpolation as two one-hot matmuls, which forces
 the (C, P, band) stage-A intermediate and both one-hot operands through
 HBM — measured 593 GiB of traffic for the 6k projection stage alone
-(~300x the image data; BASELINE.md round-3 roofline). This kernel fuses
+(~300x the image data; BASELINE.md "Round-3 measured results"). This kernel fuses
 window extraction, one-hot construction and both contractions in VMEM:
 
   per grid step (tile t, lead l, group g):
@@ -48,11 +48,16 @@ import numpy as np
 
 __all__ = ["fused_window_sample", "pallas_window_supported"]
 
-# VMEM budget for one grid step's buffers (double-buffered window +
-# one-hots + stage-A temp + coord/out blocks), below the ~16 MB/core
-# ceiling with headroom for Mosaic's own double-buffering of the small
-# blocks.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# VMEM accounting budget for one grid step's buffers (double-buffered
+# window + one-hots + stage-A temp + coord/out blocks). Mosaic's actual
+# stack allocation runs ~2x this model (elementwise-chain transients of
+# the distance-kernel build at f32, plus its own block double-buffering),
+# so pallas_call passes vmem_limit_bytes = _VMEM_HW_LIMIT: the v5e core
+# has far more physical VMEM than the 16 MB default scoped limit — a
+# measured 16.45M allocation at the 6k pole-flow geometry compiled out
+# of the box once the limit was raised.
+_VMEM_BUDGET = 16 * 1024 * 1024
+_VMEM_HW_LIMIT = 64 * 1024 * 1024
 
 
 def _step_vmem_bytes(C, P, bh, bw, L=1, group=1, compute_dtype="float32"):
@@ -60,9 +65,9 @@ def _step_vmem_bytes(C, P, bh, bw, L=1, group=1, compute_dtype="float32"):
     dt = 2 if compute_dtype == "bfloat16" else 4
     win = 2 * C * bh * bw * 4  # double-buffered, DMA'd at source dtype
     onehots = Pg * (bh + bw) * dt
-    # f32 transient of the one-hot build before the bf16 cast (worst axis)
+    # f32 transient of the distance-kernel build before the cast
     onehots += Pg * max(bh, bw) * 4
-    tmp = Pg * bh * 4
+    tmp = Pg * C * bh * 4  # channel-folded stage-A + f32 ohy
     blocks = 2 * (2 * P * 4) + 2 * (C * P * 4)  # coords + out, dbuffered
     return win + onehots + tmp + blocks
 
@@ -90,29 +95,51 @@ def _make_kernel(
     def k12(s):
         return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
 
-    def onehot(local, origin, pad, n, b):
-        """(Pg, b) interpolation matrix in compute dtype. local: (Pg,)
-        coords relative to the window start; origin: scalar window start
-        in PADDED coords (for absolute-index validity)."""
+    # The interpolation matrix is built as a DISTANCE KERNEL of the
+    # (coord - column) grid rather than a per-tap one-hot accumulation:
+    # bilinear weight(j) = relu(1 - |x - j|) (the tent function), bicubic
+    # = the Catmull-Rom-style polynomial of s = |x - j| on [0, 2). This
+    # needs ~4 VPU ops per (row, column) instead of ~5 per TAP (8-20
+    # total) — the one-hot build is the kernel's VPU bottleneck at flow
+    # geometries (round-4 measurement: 23 us/step, ~10 of it here).
+    #
+    # Border semantics:
+    #  * "constant": beyond-source taps must contribute zero — the padded
+    #    source IS zero there, so the weight needs no validity mask.
+    #  * "clamp" + bilinear: clamping the COORDINATE to [0, n-1] is
+    #    exactly equivalent to clamping each tap index (both taps collapse
+    #    onto the border pixel with total weight 1).
+    #  * "clamp" + bicubic is NOT coordinate-clampable (taps stack on the
+    #    border pixel with a different weight profile), so that combo
+    #    keeps the per-tap masked build below.
+    def onehot(xp, origin, pad, n, b):
+        """(Pg, b) interpolation matrix in compute dtype. xp: (Pg,) coords
+        in PADDED units; origin: scalar window start in padded coords."""
+        if border == "clamp" and interpolation == "bilinear":
+            xp = jnp.clip(xp - pad, 0.0, n - 1.0) + pad
+        local = xp - origin.astype(jnp.float32)
+        grid = jax.lax.broadcasted_iota(jnp.int32, (Pg, b), 1)
+        if interpolation != "bicubic" or border != "clamp":
+            d = local[:, None] - grid.astype(jnp.float32)
+            s = jnp.abs(d)
+            if interpolation == "bicubic":
+                w = jnp.where(s < 1.0, k01(s), jnp.where(s < 2.0, k12(s), 0.0))
+            else:
+                w = jnp.maximum(1.0 - s, 0.0)
+            return w.astype(cdt)
+        # bicubic + clamp: per-tap masked accumulation (exact reference
+        # semantics; not on any hot path)
         l0 = jnp.floor(local)
         t = local - l0
         i0 = l0.astype(jnp.int32)
-        if interpolation == "bicubic":
-            taps = [(-1, k12(t + 1.0)), (0, k01(t)), (1, k01(1.0 - t)),
-                    (2, k12(2.0 - t))]
-        else:
-            taps = [(0, 1.0 - t), (1, t)]
-        grid = jax.lax.broadcasted_iota(jnp.int32, (Pg, b), 1)
+        taps = [(-1, k12(t + 1.0)), (0, k01(t)), (1, k01(1.0 - t)),
+                (2, k12(2.0 - t))]
         acc = jnp.zeros((Pg, b), cdt)
         for off, w in taps:
-            idx = i0 + off  # local index
-            idx_abs = idx + origin - pad  # absolute source index
-            if border == "constant":
-                wv = jnp.where((idx_abs >= 0) & (idx_abs < n), w, 0.0)
-            else:  # clamp: fold the absolute index, then relocalize
-                idx = jnp.clip(idx_abs, 0, n - 1) + pad - origin
-                wv = w
-            acc = acc + ((grid == idx[:, None]) * wv[:, None]).astype(cdt)
+            idx = i0 + off
+            idx_abs = idx + origin - pad
+            idx = jnp.clip(idx_abs, 0, n - 1) + pad - origin
+            acc = acc + ((grid == idx[:, None]) * w[:, None]).astype(cdt)
         return acc
 
     def kernel(sy_ref, sx_ref, padded_ref, xt_ref, yt_ref, out_ref, win, sem):
@@ -153,10 +180,10 @@ def _make_kernel(
 
         sy = pl.multiple_of(sy_ref[j], 8)
         sx = pl.multiple_of(sx_ref[j], 128)
-        # coords arrive in padded units; localize to this window. The
-        # group's slice start g*Pg is lane-aligned (Pg multiple of 128).
-        x = xt_ref[0, 0, pl.ds(g * Pg, Pg)] - sx.astype(jnp.float32)
-        y = yt_ref[0, 0, pl.ds(g * Pg, Pg)] - sy.astype(jnp.float32)
+        # coords arrive in padded units; onehot localizes to the window.
+        # The group's slice start g*Pg is lane-aligned (Pg multiple of 128).
+        x = xt_ref[0, 0, pl.ds(g * Pg, Pg)]
+        y = yt_ref[0, 0, pl.ds(g * Pg, Pg)]
         ohx = onehot(x, sx, pad_x, n_x, bw)
         ohy = onehot(y, sy, pad_y, n_y, bh)
 
@@ -164,28 +191,30 @@ def _make_kernel(
         def _():
             dma(j, j % 2).wait()
 
-        wslot = win.at[j % 2]
+        # one dot for ALL channels: (Pg, bw) x (C*bh, bw)^T -> (Pg, C*bh)
+        # (bigger MXU tiles than C sequential (Pg, bh) dots)
+        wm = win[j % 2].reshape(C * bh, bw)
+        if compute_dtype == "bfloat16":
+            wm = wm.astype(jnp.bfloat16)
+        tmp = jax.lax.dot_general(
+            ohx,
+            wm,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # f32 mode must ask for multi-pass explicitly: Mosaic's
+            # default lowers f32 matmuls to ONE bf16 MXU pass, which
+            # round-4 measured as ~5e-3 sampling error on shipped
+            # "exact" warps (projection / novel view)
+            precision=(
+                None
+                if compute_dtype == "bfloat16"
+                else jax.lax.Precision.HIGHEST
+            ),
+        )  # (Pg, C*bh)
+        ohy32 = ohy.astype(jnp.float32)
         for c in range(C):
-            wc = wslot[c]
-            if compute_dtype == "bfloat16":
-                wc = wc.astype(jnp.bfloat16)
-            tmp = jax.lax.dot_general(
-                ohx,
-                wc,  # (bh, bw)
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                # f32 mode must ask for multi-pass explicitly: Mosaic's
-                # default lowers f32 matmuls to ONE bf16 MXU pass, which
-                # round-4 measured as ~5e-3 sampling error on shipped
-                # "exact" warps (projection / novel view)
-                precision=(
-                    None
-                    if compute_dtype == "bfloat16"
-                    else jax.lax.Precision.HIGHEST
-                ),
-            )  # (Pg, bh)
             out_ref[0, 0, c, pl.ds(g * Pg, Pg)] = jnp.sum(
-                tmp * ohy.astype(jnp.float32), axis=-1
+                tmp[:, c * bh : (c + 1) * bh] * ohy32, axis=-1
             )
 
     return kernel
@@ -273,5 +302,8 @@ def fused_window_sample(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, L, C, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_HW_LIMIT
+        ),
         interpret=jax.default_backend() != "tpu",
     )(sy.reshape(-1), sx.reshape(-1), padded, xt2, yt2)

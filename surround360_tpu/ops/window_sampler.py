@@ -855,9 +855,11 @@ def make_window_sampler(
     B, C, H, W = img.shape
     Ho, Wo = out_hw
 
-    use_pallas = backend != "xla" and jax.default_backend() == "tpu"
+    use_pallas = backend == "pallas" or (
+        backend != "xla" and jax.default_backend() == "tpu"
+    )
     plan = None
-    if use_pallas and Ho * Wo >= min_out_px:
+    if use_pallas and (Ho * Wo >= min_out_px or backend == "pallas"):
         plan = plan_windows(
             (H, W), (Ho, Wo), halo_y, halo_x, interpolation, border, tr, tc
         )
@@ -892,6 +894,7 @@ def make_window_sampler(
                 tile_chunk=xla_tile_chunk, precision=precision,
             )
 
+        fn_xla.backend = "xla"
         return fn_xla
 
     import jax.numpy as jnp
@@ -950,4 +953,5 @@ def make_window_sampler(
         out = out[..., : p.Ho, : p.Wo]
         return out.reshape(extra_shape + (B, C, p.Ho, p.Wo))
 
+    fn.backend = "pallas"
     return fn

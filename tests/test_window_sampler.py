@@ -590,3 +590,71 @@ class TestStaticPallasRemap:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(dense), atol=5e-5
         )
+
+
+class TestMakeWindowSampler:
+    """The static-origin Pallas route (flow error-field sampler) vs the
+    XLA einsum route — same plan contract, interpret-mode kernel."""
+
+    def _mk(self, H, W, B, hy, hx, K, seed=0):
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(rng.random((B, 2, H, W)).astype(np.float32))
+        gy, gx = np.meshgrid(
+            np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32),
+            indexing="ij",
+        )
+        shape = (K, B, H, W) if K else (B, H, W)
+        dxs = (rng.random(shape) * 2 - 1) * (hx - 2)
+        dys = (rng.random(shape) * 2 - 1) * (hy - 2)
+        xs = jnp.asarray(np.clip(gx + dxs, 0, W - 1).astype(np.float32))
+        ys = jnp.asarray(np.clip(gy + dys, 0, H - 1).astype(np.float32))
+        return img, xs, ys
+
+    def test_candidate_fold_matches_xla(self):
+        from surround360_tpu.ops.window_sampler import make_window_sampler
+
+        img, xs, ys = self._mk(72, 160, 3, 10, 14, 13)
+        f_p = make_window_sampler(
+            img, (72, 160), 10, 14, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="pallas",
+        )
+        f_x = make_window_sampler(
+            img, (72, 160), 10, 14, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="xla",
+        )
+        assert f_p.backend == "pallas" and f_x.backend == "xla"
+        a, b = f_p(xs, ys), f_x(xs, ys)
+        assert a.shape == b.shape == (13, 3, 2, 72, 160)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    def test_no_extra_dims_and_odd_tile_padding(self):
+        """Wo < 128 forces a single-x-tile plan whose Pt isn't a multiple
+        of 128 — exercises the kernel-P padding path."""
+        from surround360_tpu.ops.window_sampler import make_window_sampler
+
+        img, xs, ys = self._mk(64, 72, 2, 8, 8, 0)
+        f_p = make_window_sampler(
+            img, (64, 72), 8, 8, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="pallas",
+        )
+        f_x = make_window_sampler(
+            img, (64, 72), 8, 8, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="xla",
+        )
+        a, b = f_p(xs, ys), f_x(xs, ys)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    def test_bf16_mode_close(self):
+        from surround360_tpu.ops.window_sampler import make_window_sampler
+
+        img, xs, ys = self._mk(72, 160, 2, 10, 14, 5)
+        f_p = make_window_sampler(
+            img, (72, 160), 10, 14, "bilinear", "clamp",
+            tr=8, tc=128, precision="default", backend="pallas",
+        )
+        f_x = make_window_sampler(
+            img, (72, 160), 10, 14, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="xla",
+        )
+        a, b = np.asarray(f_p(xs, ys)), np.asarray(f_x(xs, ys))
+        assert np.abs(a - b).max() < 0.02  # bf16 contraction noise
