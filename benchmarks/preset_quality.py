@@ -10,7 +10,10 @@ disabled: they change pixels relative to the analytic reference by
 design, and the quality question is about geometry/flow/compositing.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/preset_quality.py
-Env: S360_PRESETS (default "3k,4k,6k,8k"), S360_PRESET_CAM_SCALE (1.0).
+Env: S360_PRESETS (default "3k,4k,6k,8k"), S360_PRESET_CAM_SCALE (1.0),
+     S360_POLAR_FLOW_SCALE (RenderConfig default 0.5) and
+     S360_SIDE_FLOW_SCALE (preset default) for A/B-ing the flow-scale
+     knobs' quality cost at preset geometry.
 
 Reference comparison anchor: the reference's own quality evidence is
 PSNR against shipped sample_result images (README.md:15-27); datasets
@@ -70,14 +73,21 @@ def main():
     rows = []
     for name in presets:
         eqr_w, eqr_h, _, _ = QUALITY_PRESETS[name.strip()]
+        kw = {}
+        if os.environ.get("S360_POLAR_FLOW_SCALE"):
+            kw["polar_flow_scale"] = float(os.environ["S360_POLAR_FLOW_SCALE"])
+        sfs = PRESET_SIDE_FLOW_SCALE.get(name.strip(), 1.0)
+        if os.environ.get("S360_SIDE_FLOW_SCALE"):
+            sfs = float(os.environ["S360_SIDE_FLOW_SCALE"])
         cfg = RenderConfig(
             eqr_width=eqr_w,
             eqr_height=eqr_h,
             side_flow_alg="pixflow_tpu",
             polar_flow_alg="pixflow_tpu",
-            side_flow_scale=PRESET_SIDE_FLOW_SCALE.get(name.strip(), 1.0),
+            side_flow_scale=sfs,
             enable_top=True,
             enable_bottom=True,
+            **kw,
         )
         ctx = build_render_context(rig, cfg)
         render = make_jitted_renderer(ctx)

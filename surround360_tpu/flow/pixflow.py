@@ -106,6 +106,13 @@ class FlowParams(NamedTuple):
     # output tile width for the banded sampler; smaller tiles shrink the
     # per-tile window (tc + 2*halo) toward MXU-friendly sub-128 widths
     window_tile_cols: int = 16
+    # rank candidates through the OFFSET formulation: every ranking
+    # candidate's sample position equals base_warp + constant integer
+    # offset (neighbor-shifted flows and +-d probes alike), so one
+    # interpolation-matrix build serves all ~13 fields (lane-rolled
+    # window slices on the TPU kernel; folded offset coords on the XLA
+    # fallback). Unrolls the propagation rounds (d must be static).
+    offset_ranking: bool = False
     # rebase the I1 gradient basis to the current flow once per round and
     # sample error fields at small residual displacements (see
     # _propagation_and_search); ~3-4x cheaper per field
@@ -140,6 +147,16 @@ def make_flow_params(name: str) -> FlowParams:
             # (2026-08-17 TPU run) and +16% full-frame fps at 2016
             error_sampler_precision="default",
         )
+    if name == "pixflow_tpu_offsets":
+        # pixflow_tpu + shared-build offset ranking (round-4 experiment):
+        # candidate error fields source from ONE interpolation-matrix
+        # build (ops/pallas_remap.py offsets mode). Quality-equal or
+        # better on the harness (rotation RMSE 0.0031 -> 0.0025), but
+        # measured only ~parity with the XLA einsum route on-chip
+        # (side-L0 ranking 72 ms vs ~70 XLA) at multi-minute Mosaic
+        # compile per kernel instance — kept opt-in until the kernel's
+        # per-lead overhead (57 us vs ~12 modeled) is understood.
+        return make_flow_params("pixflow_tpu")._replace(offset_ranking=True)
     if name == "pixflow_tpu_fast":
         # pixflow_tpu + level-rebased residual sampling on large levels:
         # ~2-3x cheaper error fields at the finest level for a measured
@@ -341,6 +358,16 @@ def _error_field(flow, ctx, params: FlowParams):
     mmx = jnp.clip(gx + flow[..., 0, :, :], 0.0, W - 2.0)
     mmy = jnp.clip(gy + flow[..., 1, :, :], 0.0, H - 2.0)
     g = sample_fn(mmx, mmy)
+    return _error_from_samples(flow, g, ctx, params)
+
+
+def _error_from_samples(flow, g, ctx, params: FlowParams):
+    """Energy given already-sampled I1 gradients ``g`` (..., 2, H, W) for
+    candidate ``flow`` — the data term of PixFlow.h:493-534 split from
+    the sampling so the offset-ranking path can source samples from the
+    shared-build offset fields."""
+    I0x, I0y, _, blurred_flow, _, _ = ctx
+    H, W = I0x.shape[-2:]
     i1x = g[..., 0, :, :]
     i1y = g[..., 1, :, :]
     data = jnp.sqrt((I0x - i1x) ** 2 + (I0y - i1y) ** 2)
@@ -459,22 +486,18 @@ def _propagation_and_search(
         return group, chunk
 
     cand_group, tile_chunk = _sampler_budget(plan)
-    # On TPU the error-field sampler routes through the fused Pallas
-    # window kernel (static tile origins; one-hots + stage-A temps stay in
-    # VMEM) — the XLA einsum route's HBM transients made side flow the top
-    # bandwidth consumer at preset scale (174 GiB/frame at 6k, round-4
-    # roofline). Off TPU / unsupported geometry it falls back to the exact
-    # pre-round-4 build_windows + sample_windows path on the same plan.
+    # Generic candidate sampling stays on the XLA einsum route: the fused
+    # kernel's per-candidate interpolation-matrix builds measured SLOWER
+    # than XLA's fused big einsums at 6k (side flow 595 -> 1118 ms,
+    # round-4). The kernel wins only where the build is SHARED across
+    # fields — the offset-ranking path below.
     base_sample_fn = make_window_sampler(
         I1g, (H, W), halo_y, halo_x, "bilinear", "clamp",
         tr=8, tc=128,
         precision=params.error_sampler_precision,
         xla_plan=plan, xla_tile_chunk=tile_chunk,
+        backend="xla",
     )
-    if getattr(base_sample_fn, "backend", "xla") == "pallas":
-        # kernel groups bound VMEM internally: fold every candidate into
-        # one call so ranking is a single kernel launch per round
-        cand_group = 16
 
     # Level rebasing (residual sampling): warp the I1 gradients ONCE by
     # the level's incoming flow — smooth and stable (it just passed the
@@ -515,9 +538,8 @@ def _propagation_and_search(
             tr=8, tc=128,
             precision=params.error_sampler_precision,
             xla_plan=plan_r, xla_tile_chunk=tile_chunk_r,
+            backend="xla",
         )
-        if getattr(res_sampler, "backend", "xla") == "pallas":
-            cand_group = 16
 
         def sample_fn(mx, my):
             qx = jnp.clip(mx - f0x, 0.0, W - 2.0)
@@ -526,11 +548,120 @@ def _propagation_and_search(
     else:
         sample_fn = base_sample_fn
 
+    use_offsets = params.offset_ranking and not use_residual
+    off_samplers: dict = {}
+
     def sweep(flow):
         blurred_flow = gaussian_blur(
             flow, BLURRED_FLOW_SIGMA, ksize=BLURRED_FLOW_KSIZE
         )
         ctx = (I0x, I0y, sample_fn, blurred_flow, gx, gy)
+
+        def select_and_descend(flow, cand, errs):
+            """Pick the best candidate per pixel, then one numeric-gradient
+            descent step (PixFlow.h:195-217). Shared by the traced-d scan
+            round and the static-d offset-ranking round."""
+            K = cand.shape[0]
+            best = jnp.argmin(errs, axis=0)  # (B, H, W)
+            # one-hot select instead of take_along_axis (scalar-loop gather)
+            onehot = (
+                best[None, :, None, :, :]
+                == jnp.arange(K, dtype=best.dtype)[:, None, None, None, None]
+            )
+            flow_prop = jnp.sum(jnp.where(onehot, cand, 0.0), axis=0)
+            curr_err = jnp.min(errs, axis=0)
+
+            ex = jnp.zeros_like(flow_prop).at[..., 0, :, :].add(GRAD_EPSILON)
+            ey = jnp.zeros_like(flow_prop).at[..., 1, :, :].add(GRAD_EPSILON)
+            if cand_group >= 2:
+                e2 = _error_field(
+                    jnp.stack([flow_prop + ex, flow_prop + ey], axis=0),
+                    ctx,
+                    params,
+                )
+                err_x, err_y = e2[0], e2[1]
+            else:
+                err_x = _error_field(flow_prop + ex, ctx, params)
+                err_y = _error_field(flow_prop + ey, ctx, params)
+            gflow = (
+                jnp.stack([err_x - curr_err, err_y - curr_err], axis=-3)
+                / GRAD_EPSILON
+            )
+            flow_new = flow_prop - params.gradient_step_size * gflow
+            return jnp.where(gate[:, None], flow_new, flow)
+
+        _NEIGH = ((0, 1), (0, -1), (1, 0), (-1, 0))
+        _PROBES = (
+            (0, 1), (0, -1), (1, 0), (-1, 0),
+            (1, 1), (1, -1), (-1, 1), (-1, -1),
+        )
+
+        def round_offsets(flow, d: int):
+            """One propagation round with STATIC d: every candidate's
+            sample position equals base_warp + constant integer offset
+            (shift candidates: I1g(p + flow(p-v)) = W_v(p-v) for
+            v = (dy d, dx d); probes: W_delta(p)), so all ~13 error fields
+            source from ONE offset-sampler call that shares a single
+            interpolation-matrix build (ops/pallas_remap.py offsets mode)."""
+            probes = _PROBES if params.use_probe_candidates else ()
+            offs = [(0, 0)] + [(py * d, px * d) for (py, px) in probes]
+            for (dy, dx) in _NEIGH:
+                if (dy * d, dx * d) not in offs:
+                    offs.append((dy * d, dx * d))
+            offs = tuple(offs)
+            if (d, offs) not in off_samplers:
+                # reproduce getPixBilinear32FExtend's clip-to-[0, n-2]
+                # EXACTLY under the sampler's tap-clamp border: overwrite
+                # the last column/row with column/row n-2, so every
+                # position > n-2 reads the same value the clipped
+                # coordinate would (positions <= n-2 never tap the last
+                # column/row). Without this, offset taps lerp into the
+                # gradient image's degenerate edge column — measured
+                # rotation RMSE 0.0031 -> 0.0070.
+                I1g_ext = I1g.at[..., :, W - 1].set(I1g[..., :, W - 2])
+                I1g_ext = I1g_ext.at[..., H - 1, :].set(
+                    I1g_ext[..., H - 2, :]
+                )
+                off_samplers[(d, offs)] = make_window_sampler(
+                    I1g_ext, (H, W), halo_y, halo_x, "bilinear", "clamp",
+                    tr=8, tc=128,
+                    precision=params.error_sampler_precision,
+                    offsets=offs,
+                )
+            smp = off_samplers[(d, offs)]
+            bx = jnp.clip(gx + flow[..., 0, :, :], 0.0, W - 2.0)
+            by = jnp.clip(gy + flow[..., 1, :, :], 0.0, H - 2.0)
+            gofs = smp(bx, by)  # (O, B, 2, H, W)
+            idx = {o: i for i, o in enumerate(offs)}
+            cands = [flow]
+            datas = [gofs[0]]
+            for (dy, dx) in _NEIGH:
+                v = (dy * d, dx * d)
+                cands.append(_shift_traced(flow, *v, flow))
+                datas.append(_shift_traced(gofs[idx[v]], *v, gofs[0]))
+            zero = jnp.zeros_like(flow)
+            for (py, px) in probes:
+                delta = (
+                    zero.at[..., 0, :, :].add(px * float(d))
+                    .at[..., 1, :, :].add(py * float(d))
+                )
+                cands.append(flow + delta)
+                datas.append(gofs[idx[(py * d, px * d)]])
+            cand = jnp.stack(cands, axis=0)  # (K, B, 2, H, W)
+            i1 = jnp.stack(datas, axis=0)
+            # beyond-halo candidates must read ZERO samples (data term
+            # |grad I0|, a high-energy candidate) exactly like the legacy
+            # windowed sampler's dropped taps: that soft bound regularizes
+            # the search (coarse levels probe at d=8 past the small halos)
+            # and removing it measurably hurt (translation RMSE 0.0024 ->
+            # 0.0062)
+            beyond = (
+                (jnp.abs(cand[..., 0, :, :]) > halo_x)
+                | (jnp.abs(cand[..., 1, :, :]) > halo_y)
+            )
+            i1 = jnp.where(beyond[:, :, None], 0.0, i1)
+            errs = _error_from_samples(cand, i1, ctx, params)
+            return select_and_descend(flow, cand, errs)
 
         def round_fn(flow, d):
             # neighbor proposals at offset d in 4 directions, plus optional
@@ -568,36 +699,14 @@ def _propagation_and_search(
             errs = (
                 jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
             )
-            best = jnp.argmin(errs, axis=0)  # (B, H, W)
-            # one-hot select instead of take_along_axis (scalar-loop gather)
-            onehot = (
-                best[None, :, None, :, :]
-                == jnp.arange(K, dtype=best.dtype)[:, None, None, None, None]
-            )
-            flow_prop = jnp.sum(jnp.where(onehot, cand, 0.0), axis=0)
-            curr_err = jnp.min(errs, axis=0)
+            return select_and_descend(flow, cand, errs), None
 
-            # numeric-gradient descent step (PixFlow.h:195-217); both axis
-            # probes ride one batched sample when the budget allows
-            ex = jnp.zeros_like(flow_prop).at[..., 0, :, :].add(GRAD_EPSILON)
-            ey = jnp.zeros_like(flow_prop).at[..., 1, :, :].add(GRAD_EPSILON)
-            if cand_group >= 2:
-                e2 = _error_field(
-                    jnp.stack([flow_prop + ex, flow_prop + ey], axis=0),
-                    ctx,
-                    params,
-                )
-                err_x, err_y = e2[0], e2[1]
-            else:
-                err_x = _error_field(flow_prop + ex, ctx, params)
-                err_y = _error_field(flow_prop + ey, ctx, params)
-            gflow = (
-                jnp.stack([err_x - curr_err, err_y - curr_err], axis=-3)
-                / GRAD_EPSILON
-            )
-            flow_new = flow_prop - params.gradient_step_size * gflow
-            return jnp.where(gate[:, None], flow_new, flow), None
-
+        if use_offsets:
+            # static-d rounds, unrolled (the offset sampler's lane rolls
+            # and window slices need compile-time d)
+            for d in offsets:
+                flow = round_offsets(flow, int(d))
+            return flow
         ds = jnp.asarray(offsets, jnp.int32)
         flow, _ = jax.lax.scan(round_fn, flow, ds)
         return flow

@@ -56,38 +56,69 @@ __all__ = ["fused_window_sample", "pallas_window_supported"]
 # has far more physical VMEM than the 16 MB default scoped limit — a
 # measured 16.45M allocation at the 6k pole-flow geometry compiled out
 # of the box once the limit was raised.
-_VMEM_BUDGET = 16 * 1024 * 1024
-_VMEM_HW_LIMIT = 64 * 1024 * 1024
+_VMEM_BUDGET = 28 * 1024 * 1024
+_VMEM_HW_LIMIT = 110 * 1024 * 1024
 
 
-def _step_vmem_bytes(C, P, bh, bw, L=1, group=1, compute_dtype="float32"):
+def _step_vmem_bytes(
+    C, P, bh, bw, L=1, group=1, compute_dtype="float32",
+    n_offsets=1, n_ox=1, lead_folded=False,
+):
     Pg = -(-P // group)
     dt = 2 if compute_dtype == "bfloat16" else 4
-    win = 2 * C * bh * bw * 4  # double-buffered, DMA'd at source dtype
+    if lead_folded:
+        win = L * C * bh * bw * 4  # one DMA per tile, single-buffered
+        blocks = 2 * (2 * L * P * 4) + 2 * (L * n_offsets * C * P * 4)
+    else:
+        win = 2 * C * bh * bw * 4  # double-buffered, DMA'd at source dtype
+        blocks = 2 * (2 * P * 4) + 2 * (n_offsets * C * P * 4)
     onehots = Pg * (bh + bw) * dt
     # f32 transient of the distance-kernel build before the cast
     onehots += Pg * max(bh, bw) * 4
-    tmp = Pg * C * bh * 4  # channel-folded stage-A + f32 ohy
-    blocks = 2 * (2 * P * 4) + 2 * (C * P * 4)  # coords + out, dbuffered
+    tmp = n_ox * Pg * C * bh * 4  # channel-folded stage-A per unique ox
     return win + onehots + tmp + blocks
 
 
 def pallas_window_supported(
-    C, P, bh, bw, L=1, group=1, compute_dtype="float32"
+    C, P, bh, bw, L=1, group=1, compute_dtype="float32",
+    n_offsets=1, n_ox=1, lead_folded=False,
 ) -> bool:
     return (
-        _step_vmem_bytes(C, P, bh, bw, L, group, compute_dtype)
+        _step_vmem_bytes(
+            C, P, bh, bw, L, group, compute_dtype, n_offsets, n_ox,
+            lead_folded,
+        )
         <= _VMEM_BUDGET
     )
 
 
 def _make_kernel(
     C, L, P, G, bh, bw, pad_y, pad_x, n_y, n_x, interpolation, border,
-    compute_dtype,
+    compute_dtype, offsets=None, bhb=None, bwb=None, off_my=0, off_mx=0,
 ):
+    """offsets: optional static ((oy, ox), ...) integer displacements. In
+    offsets mode the DMA'd window (bh, bw) is the base extent widened by
+    the offset margins (off_my, off_mx) + alignment, ONE full-width
+    tent/one-hot pair is built from the base coords, and every offset
+    field reuses it against LANE-ROLLED operands:
+
+      sample(x + ox, y + oy) = sum_h roll(ohy, oy)[h] (ohx . roll(win_c,
+      -ox, lanes))[h]
+
+    (tent(x + ox - j) = tent(x - (j - ox)) — an integer shift of the same
+    matrix, realized as a hardware lane rotation of the other operand).
+    The flow solver's candidate ranking (13 fields per round whose
+    positions all equal base_warp + const integer offset) pays ONE
+    interpolation-matrix build instead of 13 — the build was the measured
+    VPU bottleneck (round-4: ~60% of kernel step time at 6k flow
+    geometry). The tent support is masked off the outer margin bands so
+    beyond-halo coords keep reading zero weight (the window contract)
+    instead of circularly-wrapped pixels."""
     a = -0.75
     Pg = P // G
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if offsets is None:
+        bhb, bwb = bh, bw
 
     def k01(s):
         return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
@@ -112,9 +143,13 @@ def _make_kernel(
     #  * "clamp" + bicubic is NOT coordinate-clampable (taps stack on the
     #    border pixel with a different weight profile), so that combo
     #    keeps the per-tap masked build below.
-    def onehot(xp, origin, pad, n, b):
+    def onehot(xp, origin, pad, n, b, edge_mask=0):
         """(Pg, b) interpolation matrix in compute dtype. xp: (Pg,) coords
-        in PADDED units; origin: scalar window start in padded coords."""
+        in PADDED units; origin: scalar window start in padded coords.
+        edge_mask > 0 zeroes the outer bands [0, edge_mask) and
+        [b - edge_mask, b) — in offsets mode legitimate (within-halo)
+        taps never land there, so the mask only drops beyond-halo weights
+        that lane rolls would otherwise wrap around."""
         if border == "clamp" and interpolation == "bilinear":
             xp = jnp.clip(xp - pad, 0.0, n - 1.0) + pad
         local = xp - origin.astype(jnp.float32)
@@ -126,6 +161,8 @@ def _make_kernel(
                 w = jnp.where(s < 1.0, k01(s), jnp.where(s < 2.0, k12(s), 0.0))
             else:
                 w = jnp.maximum(1.0 - s, 0.0)
+            if edge_mask:
+                w = w * ((grid >= edge_mask) & (grid < b - edge_mask))
             return w.astype(cdt)
         # bicubic + clamp: per-tap masked accumulation (exact reference
         # semantics; not on any hot path)
@@ -141,6 +178,120 @@ def _make_kernel(
             idx = jnp.clip(idx_abs, 0, n - 1) + pad - origin
             acc = acc + ((grid == idx[:, None]) * w[:, None]).astype(cdt)
         return acc
+
+    prec = (
+        None if compute_dtype == "bfloat16" else jax.lax.Precision.HIGHEST
+    )
+
+    def compute_one(x, y, sy, sx, wl, write):
+        """One lead's samples: build the interpolation matrices, contract
+        against this lead's window value wl (C, bh, bw), hand each output
+        row to ``write(o_or_None, c, values)``."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        if offsets is None:
+            ohx = onehot(x, sx, pad_x, n_x, bw)
+            ohy = onehot(y, sy, pad_y, n_y, bh)
+        else:
+            # full-width matrices shared by every offset (see header)
+            ohx = onehot(x, sx, pad_x, n_x, bw, edge_mask=off_mx)
+            ohy = onehot(y, sy, pad_y, n_y, bh, edge_mask=off_my)
+        ohy32 = ohy.astype(jnp.float32)
+        if offsets is None:
+            wm = wl
+            if compute_dtype == "bfloat16":
+                wm = wm.astype(jnp.bfloat16)
+            # one dot for ALL channels: (Pg, bw) x (C*bh, bw)^T ->
+            # (Pg, C*bh) (bigger MXU tiles than C sequential dots).
+            # f32 mode must ask for multi-pass explicitly: Mosaic's
+            # default lowers f32 matmuls to ONE bf16 MXU pass, which
+            # round-4 measured as ~5e-3 sampling error on shipped
+            # "exact" warps (projection / novel view)
+            tmp = jax.lax.dot_general(
+                ohx,
+                wm.reshape(C * bh, bw),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (Pg, C*bh)
+            for c in range(C):
+                write(
+                    None, c,
+                    jnp.sum(tmp[:, c * bh : (c + 1) * bh] * ohy32, axis=-1),
+                )
+            return
+        # offsets mode: per unique x-offset, contract the shared ohx
+        # against the lane-rolled window (rolled in f32 — Mosaic's lane
+        # rotate is 32-bit only); per (oy, ox), reduce with rolled ohy
+        tmps = {}
+        for ox in sorted({o[1] for o in offsets}):
+            per_c = []
+            for c in range(C):
+                wr = pltpu.roll(wl[c], (-ox) % bw, 1) if ox else wl[c]
+                if compute_dtype == "bfloat16":
+                    wr = wr.astype(jnp.bfloat16)
+                per_c.append(
+                    jax.lax.dot_general(
+                        ohx,
+                        wr,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+                )  # (Pg, bh)
+            tmps[ox] = per_c
+        ohys = {
+            oy: (pltpu.roll(ohy32, oy % bh, 1) if oy else ohy32)
+            for oy in sorted({o[0] for o in offsets})
+        }
+        for o, (oy, ox) in enumerate(offsets):
+            for c in range(C):
+                write(o, c, jnp.sum(tmps[ox][c] * ohys[oy], axis=-1))
+
+    def kernel_folded(sy_ref, sx_ref, padded_ref, xt_ref, yt_ref, out_ref,
+                      win, sem):
+        """Lead-folded variant: ONE window DMA per tile covers every lead
+        (origins are per-tile — the static-plan samplers), and the lead
+        loop unrolls INSIDE the grid step. Grid steps drop from T*L*G to
+        T*G — the per-step transition overhead dominated the flow-geometry
+        kernel (round-4: 61 us/step at side-L0). The DMA is synchronous at
+        each tile's first group step: it moves ~2% of the step's compute
+        time, so double-buffering (and its traced buffer-slot reads) isn't
+        worth the complexity here."""
+        from jax.experimental.pallas import tpu as pltpu
+        import jax.experimental.pallas as pl
+
+        t = pl.program_id(0)
+        g = pl.program_id(1)
+        sy = pl.multiple_of(sy_ref[t], 8)
+        sx = pl.multiple_of(sx_ref[t], 128)
+
+        @pl.when(g == 0)
+        def _():
+            copy = pltpu.make_async_copy(
+                padded_ref.at[:, :, pl.ds(sy, bh), pl.ds(sx, bw)],
+                win,
+                sem,
+            )
+            copy.start()
+            copy.wait()
+
+        # fori_loop (not a static unroll: L x offsets x channels bodies
+        # blew Mosaic compile past 9 minutes per kernel instance)
+        def body(l, _):
+            x = xt_ref[0, l, pl.ds(g * Pg, Pg)]
+            y = yt_ref[0, l, pl.ds(g * Pg, Pg)]
+
+            def write(o, c, vals):
+                if o is None:
+                    out_ref[0, l, c, pl.ds(g * Pg, Pg)] = vals
+                else:
+                    out_ref[0, l, o, c, pl.ds(g * Pg, Pg)] = vals
+
+            compute_one(x, y, sy, sx, win[l], write)
+            return 0
+
+        jax.lax.fori_loop(0, L, body, 0)
 
     def kernel(sy_ref, sx_ref, padded_ref, xt_ref, yt_ref, out_ref, win, sem):
         from jax.experimental.pallas import tpu as pltpu
@@ -180,51 +331,33 @@ def _make_kernel(
 
         sy = pl.multiple_of(sy_ref[j], 8)
         sx = pl.multiple_of(sx_ref[j], 128)
-        # coords arrive in padded units; onehot localizes to the window.
-        # The group's slice start g*Pg is lane-aligned (Pg multiple of 128).
+        # coords arrive in padded units; onehot localizes to the window
+        # (base region starts at the offset margin in offsets mode). The
+        # group's slice start g*Pg is lane-aligned (Pg multiple of 128).
         x = xt_ref[0, 0, pl.ds(g * Pg, Pg)]
         y = yt_ref[0, 0, pl.ds(g * Pg, Pg)]
-        ohx = onehot(x, sx, pad_x, n_x, bw)
-        ohy = onehot(y, sy, pad_y, n_y, bh)
 
         @pl.when(g == 0)
         def _():
             dma(j, j % 2).wait()
 
-        # one dot for ALL channels: (Pg, bw) x (C*bh, bw)^T -> (Pg, C*bh)
-        # (bigger MXU tiles than C sequential (Pg, bh) dots)
-        wm = win[j % 2].reshape(C * bh, bw)
-        if compute_dtype == "bfloat16":
-            wm = wm.astype(jnp.bfloat16)
-        tmp = jax.lax.dot_general(
-            ohx,
-            wm,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # f32 mode must ask for multi-pass explicitly: Mosaic's
-            # default lowers f32 matmuls to ONE bf16 MXU pass, which
-            # round-4 measured as ~5e-3 sampling error on shipped
-            # "exact" warps (projection / novel view)
-            precision=(
-                None
-                if compute_dtype == "bfloat16"
-                else jax.lax.Precision.HIGHEST
-            ),
-        )  # (Pg, C*bh)
-        ohy32 = ohy.astype(jnp.float32)
-        for c in range(C):
-            out_ref[0, 0, c, pl.ds(g * Pg, Pg)] = jnp.sum(
-                tmp[:, c * bh : (c + 1) * bh] * ohy32, axis=-1
-            )
+        def write(o, c, vals):
+            if o is None:
+                out_ref[0, 0, c, pl.ds(g * Pg, Pg)] = vals
+            else:
+                out_ref[0, 0, o, c, pl.ds(g * Pg, Pg)] = vals
 
-    return kernel
+        compute_one(x, y, sy, sx, win[j % 2], write)
+
+    return kernel, kernel_folded
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "bh", "bw", "pad_y", "pad_x", "n_y", "n_x", "interpolation",
-        "border", "group", "compute_dtype",
+        "border", "group", "compute_dtype", "offsets", "base_bh",
+        "base_bw", "off_my", "off_mx", "lead_folded",
     ),
 )
 def fused_window_sample(
@@ -244,6 +377,12 @@ def fused_window_sample(
     border: str = "constant",
     group: int = 1,
     compute_dtype: str = "float32",
+    offsets: tuple | None = None,
+    base_bh: int | None = None,
+    base_bw: int | None = None,
+    off_my: int = 0,
+    off_mx: int = 0,
+    lead_folded: bool = False,
 ):
     """padded: (L, C, Hp, Wp) source, already padded by (pad_y, pad_x) on
     the low side (high-side padding must make every window slice
@@ -257,24 +396,83 @@ def fused_window_sample(
     compute steps sharing one window DMA (P must divide into lane-aligned
     P/group chunks). compute_dtype: "float32" (exact) or "bfloat16"
     (single-pass MXU, f32 accumulation) for the contraction operands.
+
+    offsets: optional static ((oy, ox), ...) integer displacements —
+    returns (T, L, O, C, P) where slot o samples at coords + offsets[o]
+    with tap-clamp/zero semantics read from the widened window. bh/bw are
+    then the FETCHED window extents; base_bh/base_bw the one-hot extents
+    and off_my/off_mx the margins (bh >= base_bh + 2*off_my etc.).
+
+    lead_folded: origins are PER-TILE (sy/sx of length T, shared by every
+    lead) and the whole (L, C, bh, bw) window rides one DMA per tile with
+    the lead loop unrolled inside the grid step — T*G steps instead of
+    T*L*G (the step-transition overhead dominated flow geometries).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L, C, Hp, Wp = padded.shape
-    T = sy.shape[0] if sy.ndim > 1 else sy.reshape(-1).shape[0] // max(L, 1)
     P = xt.shape[-1]
     assert P % group == 0 and (P // group) % 128 == 0, (P, group)
-    kernel = _make_kernel(
+    kernel, kernel_folded = _make_kernel(
         C, L, P, group, bh, bw, pad_y, pad_x, n_y, n_x, interpolation,
-        border, compute_dtype,
+        border, compute_dtype, offsets, base_bh, base_bw, off_my, off_mx,
     )
     T = xt.shape[0]
+    O = None if offsets is None else len(offsets)
+    if lead_folded:
+        out_dims = (T, L, C, P) if O is None else (T, L, O, C, P)
+        blk = (1, L, C, P) if O is None else (1, L, O, C, P)
+        zeros = (0,) * (len(blk) - 1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T, group),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, L, P), lambda t, g, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, L, P), lambda t, g, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                blk, lambda t, g, *_, z=zeros: (t,) + z,
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((L, C, bh, bw), padded.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        return pl.pallas_call(
+            kernel_folded,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(out_dims, jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_HW_LIMIT
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(sy.reshape(-1), sx.reshape(-1), padded, xt, yt)
     # coords as (T*L, 1, P) so per-(t, l) blocks are legal (block (1,1,P):
     # the second-to-last dim spans its size-1 array dim) and small — a
     # (1, L, P) block would hold every lead's coords in VMEM per step
     xt2 = xt.reshape(T * L, 1, P)
     yt2 = yt.reshape(T * L, 1, P)
+    if offsets is None:
+        out_shape = jax.ShapeDtypeStruct((T, L, C, P), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, 1, C, P), lambda t, l, g, *_: (t, l, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((T, L, O, C, P), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, 1, O, C, P), lambda t, l, g, *_: (t, l, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T, L, group),
@@ -289,10 +487,7 @@ def fused_window_sample(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, C, P), lambda t, l, g, *_: (t, l, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, C, bh, bw), padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -301,7 +496,7 @@ def fused_window_sample(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, L, C, P), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_HW_LIMIT
         ),

@@ -800,8 +800,9 @@ def sample_displaced(
     )
 
 
-def _pick_kernel_group(C, P, bh, bw, L, compute_dtype):
-    """Smallest G splitting P into lane-aligned VMEM-fitting groups."""
+def _pick_kernel_group(C, P, bh, bw, L, compute_dtype, n_off=1, n_ox=1):
+    """Smallest G splitting P into lane-aligned VMEM-fitting groups
+    (lead-folded kernel accounting — the static-plan samplers' mode)."""
     from .pallas_remap import pallas_window_supported
 
     if P % 128:
@@ -809,7 +810,10 @@ def _pick_kernel_group(C, P, bh, bw, L, compute_dtype):
     for G in range(1, P // 128 + 1):
         if P % G or (P // G) % 128:
             continue
-        if pallas_window_supported(C, P, bh, bw, L, G, compute_dtype):
+        if pallas_window_supported(
+            C, P, bh, bw, L, G, compute_dtype, n_off, n_ox,
+            lead_folded=True,
+        ):
             return G
     return 0
 
@@ -828,12 +832,22 @@ def make_window_sampler(
     xla_tile_chunk: int = 0,
     backend: str = "auto",
     min_out_px: int = 16384,
+    offsets: tuple | None = None,
 ):
     """Reusable sampler fn(x, y) over a fixed (B, C, H, W) source.
 
     Coords x/y: (E..., B, Ho, Wo) absolute source coordinates (extra
     leading dims = flow candidates sharing the source); returns
     (E..., B, C, Ho, Wo).
+
+    offsets: optional static ((oy, ox), ...) integer displacements; the
+    sampler then takes plain (B, Ho, Wo) coords and returns
+    (O, B, C, Ho, Wo) where slot o samples at (x + ox, y + oy) with
+    tap-clamp border semantics. On the Pallas route every offset field
+    shares ONE interpolation-matrix build and window DMA (the flow
+    ranking's 13 candidate fields are all base_warp + integer offset —
+    pixflow round-4 restructure); the XLA fallback evaluates the
+    offset coords as folded candidates (same values, no sharing).
 
     On TPU this routes through the fused Pallas window kernel with STATIC
     tile origins (ty*tr, aligned tx*tc): per-tile windows DMA into VMEM
@@ -858,41 +872,64 @@ def make_window_sampler(
     use_pallas = backend == "pallas" or (
         backend != "xla" and jax.default_backend() == "tpu"
     )
+    my = max((abs(o[0]) for o in offsets), default=0) if offsets else 0
+    mx = max((abs(o[1]) for o in offsets), default=0) if offsets else 0
+    n_off = len(offsets) if offsets else 1
+    n_ox = len({o[1] for o in offsets}) if offsets else 1
     plan = None
     if use_pallas and (Ho * Wo >= min_out_px or backend == "pallas"):
         plan = plan_windows(
             (H, W), (Ho, Wo), halo_y, halo_x, interpolation, border, tr, tc
         )
         # origins must sit on the (8, 128) memref tiling: ty*tr is aligned
-        # for tr multiple of 8; tx*tc quantizes down with window slack
-        if plan.tr % 8 or (plan.nty > 1 and plan.tr % 8):
+        # for tr multiple of 8; tx*tc quantizes down with window slack —
+        # except in offsets mode, where the kernel's static window slices
+        # assume zero x-slack (tc multiple of 128, or a single x-tile)
+        if plan.tr % 8 or (
+            offsets and plan.ntx > 1 and plan.tc % 128
+        ):
             plan = None
     if plan is not None:
         p = plan
-        bh_k = -(-p.bh // 8) * 8
+        bh_k = -(-(p.bh + 2 * my) // 8) * 8
         xq = 0 if p.ntx <= 1 else (p.tc % 128)
-        bw_k = -(-(p.bw + (127 if xq else 0)) // 128) * 128
+        bw_k = -(-(p.bw + 2 * mx + (127 if xq else 0)) // 128) * 128
         Pt = p.tr * p.tc
         group_probe = _pick_kernel_group(
             C, -(-Pt // 128) * 128, bh_k, bw_k, B,
             "bfloat16" if precision == "default" else "float32",
+            n_off, n_ox,
         )
         if group_probe == 0:
             plan = None
     if plan is None:
-        # XLA fallback: exactly the pre-round-4 path
+        # XLA fallback: the pre-round-4 path (offset fields evaluated as
+        # folded candidate coords — same values, no build sharing)
         if xla_plan is None:
             xla_plan = plan_windows(
-                (H, W), (Ho, Wo), halo_y, halo_x, interpolation, border,
-                tr, tc,
+                (H, W), (Ho, Wo), halo_y + my, halo_x + mx, interpolation,
+                border, tr, tc,
             )
         windows = build_windows(img, xla_plan)
 
-        def fn_xla(x, y):
-            return sample_windows(
-                windows, xla_plan, x, y,
-                tile_chunk=xla_tile_chunk, precision=precision,
-            )
+        if offsets is None:
+            def fn_xla(x, y):
+                return sample_windows(
+                    windows, xla_plan, x, y,
+                    tile_chunk=xla_tile_chunk, precision=precision,
+                )
+        else:
+            off = np.asarray(offsets, np.float32)  # (O, 2) [oy, ox]
+
+            def fn_xla(x, y):
+                import jax.numpy as jnp
+
+                xs = x[None] + jnp.asarray(off[:, 1])[:, None, None, None]
+                ys = y[None] + jnp.asarray(off[:, 0])[:, None, None, None]
+                return sample_windows(
+                    windows, xla_plan, xs, ys,
+                    tile_chunk=xla_tile_chunk, precision=precision,
+                )
 
         fn_xla.backend = "xla"
         return fn_xla
@@ -903,23 +940,35 @@ def make_window_sampler(
 
     p = plan
     compute_dtype = "bfloat16" if precision == "default" else "float32"
-    padded = _padded_source(img, p)
-    Hp, Wp = padded.shape[-2:]
-    pady2 = max(0, (p.nty - 1) * p.tr + bh_k - Hp)
+    # offsets mode reads the margin around the base window, so the source
+    # padding must replicate edges for tap-clamp semantics (zeros for
+    # "constant"); the base path never weights padded pixels
+    pad_mode = "edge" if (offsets and border == "clamp") else "constant"
+    pad_y_t = p.pad_y + my
+    pad_x_t = p.pad_x + mx
+    nl = img.ndim - 2
+    ky = -(-bh_k // p.tr) if p.nty > 1 else 1
+    pady2 = max(0, (p.nty - 1) * p.tr + bh_k - (H + pad_y_t))
     T = p.nty * p.ntx
     tiles = np.arange(T)
     sy = ((tiles // p.ntx) * p.tr).astype(np.int32)
     sx_raw = ((tiles % p.ntx) * p.tc).astype(np.int32)
     sx = (sx_raw // 128) * 128
-    padx2 = max(0, int(sx.max()) + bw_k - Wp)
-    padded = jnp.pad(padded, [(0, 0), (0, 0), (0, pady2), (0, padx2)])
-    sy = jnp.asarray(np.repeat(sy[:, None], B, 1))
-    sx = jnp.asarray(np.repeat(sx[:, None], B, 1))
+    padx2 = max(0, int(sx.max()) + bw_k - (W + pad_x_t))
+    padded = jnp.pad(
+        img,
+        [(0, 0)] * nl + [(pad_y_t, pady2), (pad_x_t, padx2)],
+        mode=pad_mode,
+    )
+    sy = jnp.asarray(sy)  # (T,) — per-tile origins shared by every lead
+    sx = jnp.asarray(sx)
     Pt = p.tr * p.tc
     groups: dict[int, int] = {}
 
     def fn(x, y):
         extra_shape = x.shape[: x.ndim - 3]
+        if offsets is not None and extra_shape:
+            raise ValueError("offsets mode takes plain (B, Ho, Wo) coords")
         E = int(np.prod(extra_shape, dtype=np.int64)) if extra_shape else 1
         xt = _tile_coords(x, p)  # (T, E..., B, Pt)
         yt = _tile_coords(y, p)
@@ -934,24 +983,33 @@ def make_window_sampler(
             xt = jnp.pad(xt, [(0, 0), (0, 0), (0, P - P0)], mode="edge")
             yt = jnp.pad(yt, [(0, 0), (0, 0), (0, P - P0)], mode="edge")
         if P not in groups:
-            groups[P] = _pick_kernel_group(C, P, bh_k, bw_k, B, compute_dtype)
+            groups[P] = _pick_kernel_group(
+                C, P, bh_k, bw_k, B, compute_dtype, n_off, n_ox
+            )
         G = groups[P]
         if G == 0:  # shouldn't happen (probed at factory time), be safe
             G = P // 128
         out = fused_window_sample(
             padded, sy, sx,
-            xt + float(p.pad_x), yt + float(p.pad_y),
-            bh=bh_k, bw=bw_k, pad_y=p.pad_y, pad_x=p.pad_x,
+            xt + float(pad_x_t), yt + float(pad_y_t),
+            bh=bh_k, bw=bw_k, pad_y=pad_y_t, pad_x=pad_x_t,
             n_y=H, n_x=W, interpolation=interpolation, border=border,
             group=G, compute_dtype=compute_dtype,
-        )  # (T, B, C, P)
-        out = out[..., :P0].reshape(T, B, C, E, Pt)
-        out = out.transpose(0, 3, 1, 2, 4)  # (T, E, B, C, Pt)
-        out = out.reshape(p.nty, p.ntx, E, B, C, p.tr, p.tc)
+            offsets=offsets, base_bh=p.bh, base_bw=p.bw,
+            off_my=my, off_mx=mx, lead_folded=True,
+        )  # (T, B, C, P) or (T, B, O, C, P)
+        O = 1 if offsets is None else len(offsets)
+        out = out[..., :P0]
+        out = out.reshape(T, B, O * C, E, Pt)
+        out = out.transpose(0, 3, 1, 2, 4)  # (T, E, B, O*C, Pt)
+        out = out.reshape(p.nty, p.ntx, E, B, O * C, p.tr, p.tc)
         out = out.transpose(2, 3, 4, 0, 5, 1, 6)
-        out = out.reshape(E, B, C, p.nty * p.tr, p.ntx * p.tc)
+        out = out.reshape(E, B, O * C, p.nty * p.tr, p.ntx * p.tc)
         out = out[..., : p.Ho, : p.Wo]
-        return out.reshape(extra_shape + (B, C, p.Ho, p.Wo))
+        if offsets is None:
+            return out.reshape(extra_shape + (B, C, p.Ho, p.Wo))
+        out = out.reshape(B, O, C, p.Ho, p.Wo)
+        return out.transpose(1, 0, 2, 3, 4)  # (O, B, C, Ho, Wo)
 
     fn.backend = "pallas"
     return fn

@@ -33,3 +33,20 @@ def test_pixflow_tpu_quality(scene):
     assert rmse < base / factor, (
         f"{scene}: RMSE {rmse:.4f} vs no-flow {base:.4f} (need {factor}x)"
     )
+
+
+def test_offset_ranking_quality():
+    """The opt-in shared-build offset-ranking preset must stay within the
+    same quality envelope as the shipped pixflow_tpu (its candidate
+    evaluation is the same math restructured around integer offsets)."""
+    from benchmarks.flow_quality import (
+        build_scene, interpolation_rmse, no_flow_rmse,
+    )
+
+    for scene in ("translation", "rotation"):
+        i0, i1, mid = build_scene(scene)
+        r_off = interpolation_rmse(i0, i1, mid, "pixflow_tpu_offsets")
+        r_base = interpolation_rmse(i0, i1, mid, "pixflow_tpu")
+        base = no_flow_rmse(i0, i1, mid)
+        assert r_off < 0.6 * base, (scene, r_off, base)
+        assert r_off < 2.0 * r_base + 1e-3, (scene, r_off, r_base)

@@ -658,3 +658,48 @@ class TestMakeWindowSampler:
         )
         a, b = np.asarray(f_p(xs, ys)), np.asarray(f_x(xs, ys))
         assert np.abs(a - b).max() < 0.02  # bf16 contraction noise
+
+    def test_offsets_mode_matches_xla(self):
+        """Offset fields (one shared tent build + lane rolls) must equal
+        sampling at coords+offset through the XLA route."""
+        from surround360_tpu.ops.window_sampler import make_window_sampler
+
+        d = 2
+        offs = tuple(
+            (oy * d, ox * d)
+            for oy, ox in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0),
+                           (1, 1), (1, -1), (-1, 1), (-1, -1))
+        )
+        img, xs, ys = self._mk(72, 288, 3, 10, 14, 0, seed=3)
+        f_p = make_window_sampler(
+            img, (72, 288), 10, 14, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="pallas",
+            offsets=offs,
+        )
+        f_x = make_window_sampler(
+            img, (72, 288), 10, 14, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="xla",
+            offsets=offs,
+        )
+        a, b = np.asarray(f_p(xs, ys)), np.asarray(f_x(xs, ys))
+        assert a.shape == b.shape == (9, 3, 2, 72, 288)
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+    def test_offsets_mode_multitile_x(self):
+        """Offsets across ntx>1 (tc=128-aligned origins, margin bands)."""
+        from surround360_tpu.ops.window_sampler import make_window_sampler
+
+        offs = ((0, 0), (0, 4), (0, -4), (4, 0), (-4, 0))
+        img, xs, ys = self._mk(48, 300, 2, 8, 10, 0, seed=4)
+        f_p = make_window_sampler(
+            img, (48, 300), 8, 10, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="pallas",
+            offsets=offs,
+        )
+        f_x = make_window_sampler(
+            img, (48, 300), 8, 10, "bilinear", "clamp",
+            tr=8, tc=128, precision="float32", backend="xla",
+            offsets=offs,
+        )
+        a, b = np.asarray(f_p(xs, ys)), np.asarray(f_x(xs, ys))
+        np.testing.assert_allclose(a, b, atol=5e-5)
