@@ -99,9 +99,17 @@ def _preset_bench(preset: str):
     out, state = render_t(side, top, bottom, state)  # compile + warm
     np.asarray(out["equirect"][0, 0, 0])
     t0 = time.time()
+    outs = []
     for _ in range(n_frames):
+        # dispatch the whole chain asynchronously and sync ONCE at the
+        # end: every frame still renders (its outputs materialize on
+        # device and the temporal state chains them), but the host stops
+        # paying the relay's ~30-40 ms round trip per frame — the real
+        # video driver overlaps dispatch with PNG IO the same way
         out, state = render_t(side, top, bottom, state)
-        np.asarray(out["equirect"][0, 0, 0])
+        outs.append(out["equirect"])
+    for o in outs:
+        np.asarray(o[0, 0, 0])
     fps = n_frames / (time.time() - t0)
     return fps, (
         f"stereo equirect render fps ({preset} preset {eqr_w}x{eqr_h}/eye"
