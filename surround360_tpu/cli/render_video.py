@@ -46,7 +46,9 @@ PRESET_SHARPENING = 0.25
 # 6k this takes the dominant side-flow stage 3.46 s -> 0.63 s with
 # full-res-parity >30 dB (tests/test_render_e2e.py
 # ::test_side_flow_scale_matches_full_res) and preset-scale PSNR recorded
-# in BASELINE.md. 3k/4k keep the reference's full-res geometry.
+# in BASELINE.md "Round-4 preset-quality table" (6k full-sphere 49.6 dB
+# with this default engaged). 3k/4k keep the reference's full-res
+# geometry.
 PRESET_SIDE_FLOW_SCALE = {"6k": 0.5, "8k": 0.5}
 
 

@@ -229,11 +229,30 @@ def _plan_static_tiles(coords_np, H, W, tr, tc, pad_taps):
         b = -(-b // align) * align
         return lo_a.astype(np.int32), b
 
+    def axis_pertile(vals, n, align):
+        valid = (
+            np.isfinite(vals)
+            & (vals > -(pad_taps + 1))
+            & (vals < n + pad_taps + 1)
+        )
+        vmin = np.where(valid, vals, np.inf).min(axis=(2, 4))
+        vmax = np.where(valid, vals, -np.inf).max(axis=(2, 4))
+        none = ~valid.any(axis=(2, 4))
+        vmin = np.where(none, 0.0, vmin)
+        vmax = np.where(none, 0.0, vmax)
+        lo = np.clip(np.floor(vmin) - pad_taps, 0, max(n - 1, 0))
+        hi = np.clip(np.ceil(vmax) + pad_taps + 1, 1, n)
+        lo_a = (lo.astype(np.int64) // align) * align
+        b = hi - lo_a  # (N, nty, ntx) per-(warp, tile) required extent
+        b = (-(-b.astype(np.int64) // align)) * align
+        return b.max(axis=0).reshape(-1)  # (T,) max over warps
+
     sy, bh = axis(v[:, 1], H, 8)  # (N, nty, ntx)
     sx, bw = axis(v[:, 0], W, 128)
+    bh_t = axis_pertile(v[:, 1], H, 8)  # (T,) per-tile row extent
     sy = sy.reshape(N, -1).T.copy()  # (T, N)
     sx = sx.reshape(N, -1).T.copy()
-    return sy, sx, bh, bw, nty, ntx
+    return sy, sx, bh, bw, nty, ntx, bh_t
 
 
 def _remap_static_pallas(
@@ -249,7 +268,7 @@ def _remap_static_pallas(
     N, C, H, W = imgs.shape
     _, _, Ho, Wo = coords_np.shape
     pad_taps = 3 if interpolation == "bicubic" else 1
-    sy, sx, bh, bw, nty, ntx = _plan_static_tiles(
+    sy, sx, bh, bw, nty, ntx, bh_t = _plan_static_tiles(
         coords_np, H, W, tr, tc, pad_taps
     )
     P = tr * tc
@@ -268,21 +287,51 @@ def _remap_static_pallas(
     co = co.reshape(N, 2, nty, tr, ntx, tc)
     co = co.transpose(2, 4, 0, 1, 3, 5).reshape(nty * ntx, N, 2, P)
 
-    out = fused_window_sample(
-        padded,
-        jnp.asarray(sy),
-        jnp.asarray(sx),
-        co[:, :, 0],
-        co[:, :, 1],
-        bh=bh,
-        bw=bw,
-        pad_y=0,
-        pad_x=0,
-        n_y=H,
-        n_x=W,
-        interpolation=interpolation,
-        border=border,
-    )  # (T, N, C, P)
+    # Bucket tiles by their required ROW extent (x-extents are uniform —
+    # lens warps span similar columns everywhere, and lane alignment puts
+    # a 128 floor on bw anyway, but row spans vary 4x across the fisheye:
+    # 6k projection measured median 45 / max 124 rows, so one uniform
+    # bh = max wastes ~2.3x MXU+DMA on most tiles). 3 buckets keep the
+    # Mosaic instance count (compile time) bounded; each bucket runs one
+    # fused kernel over its own tile subset and the outputs reassemble by
+    # the inverse permutation.
+    T = nty * ntx
+    uniq = np.unique(bh_t)
+    outs = []
+    order = []
+    if T >= 64 and len(uniq) > 3:
+        qs = [np.quantile(bh_t, 0.5), np.quantile(bh_t, 0.85), bh_t.max()]
+        levels = sorted({int(-(-q // 8) * 8) for q in qs})
+    else:
+        levels = [int(bh_t.max())]
+    prev = -1
+    for lv in levels:
+        m = (bh_t > prev) & (bh_t <= lv)
+        prev = lv
+        idx = np.nonzero(m)[0]
+        if idx.size == 0:
+            continue
+        order.append(idx)
+        outs.append(
+            fused_window_sample(
+                padded,
+                jnp.asarray(sy[idx]),
+                jnp.asarray(sx[idx]),
+                co[idx, :, 0],
+                co[idx, :, 1],
+                bh=int(lv),
+                bw=bw,
+                pad_y=0,
+                pad_x=0,
+                n_y=H,
+                n_x=W,
+                interpolation=interpolation,
+                border=border,
+            )
+        )  # (Tb, N, C, P)
+    inv = np.empty(T, np.int64)
+    inv[np.concatenate(order)] = np.arange(T)
+    out = jnp.concatenate(outs, axis=0)[inv]
     out = out.reshape(nty, ntx, N, C, tr, tc)
     out = out.transpose(2, 3, 0, 4, 1, 5).reshape(
         N, C, nty * tr, ntx * tc

@@ -591,6 +591,43 @@ class TestStaticPallasRemap:
             np.asarray(out), np.asarray(dense), atol=5e-5
         )
 
+    def test_bucketed_tiles_match_dense(self):
+        """Outputs large enough to trigger row-extent bucketing (T >= 64,
+        several bh classes) must still match the dense remap exactly —
+        covers the bucket partition + inverse-permutation reassembly."""
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
+        from surround360_tpu.ops.remap import _remap_static_pallas
+
+        rig = make_ring_rig().rescaled(0.125)
+        sides = rig.side_cameras
+        h_rad = 2.0 * rig_fov(sides, False)
+        v_rad = 2.0 * rig_fov(sides, True)
+        coords = np.stack([
+            side_cam_spherical_warp(
+                cam, i, len(sides), (560, 288), h_rad, v_rad
+            )[0]
+            for i, cam in enumerate(sides[:2])
+        ])
+        rng = np.random.default_rng(5)
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (2, 4, 256, 256)).astype(np.float32)
+        )
+        out = _remap_static_pallas(
+            imgs, coords, "bicubic", "constant", 16, 128, None
+        )
+        assert out is not None
+        dense = jnp.stack([
+            remap(
+                imgs[i], jnp.asarray(coords[i]), interpolation="bicubic",
+                border="constant", method="gather",
+            )
+            for i in range(2)
+        ])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(dense), atol=5e-5
+        )
+
 
 class TestMakeWindowSampler:
     """The static-origin Pallas route (flow error-field sampler) vs the
