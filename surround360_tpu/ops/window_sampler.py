@@ -637,6 +637,12 @@ def sample_displaced_residual(
     base_x = (tx * p.tc).astype(jnp.float32) + (p.tc - 1) / 2.0
     d_y = jnp.round(yt.mean(axis=-1) - base_y[:, None])  # (T, L)
     d_x = jnp.round(xt.mean(axis=-1) - base_x[:, None])
+    # traced origins feed DMA slice starts: a NaN anywhere in the
+    # displacement field (degenerate alpha regions upstream) survives
+    # jnp.clip and casts to garbage int32 -> out-of-bounds DMA -> TPU
+    # worker fault. Sanitize before the clamp.
+    d_y = jnp.nan_to_num(d_y)
+    d_x = jnp.nan_to_num(d_x)
     d_y = jnp.clip(d_y, -halo_y, halo_y).astype(jnp.int32)
     d_x = jnp.clip(d_x, -halo_x, halo_x).astype(jnp.int32)
     s_y = jnp.clip(ty[:, None] * p.tr + (P_y - res_ey) + d_y, 0, Hp - p.bh)
