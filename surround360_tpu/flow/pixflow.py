@@ -33,6 +33,8 @@ All shapes are static per pyramid level; the level loop unrolls under jit.
 
 from __future__ import annotations
 
+from ..ops.precision import F32_PRECISION as _F32_PRECISION
+
 from functools import partial
 from typing import NamedTuple
 
@@ -302,9 +304,9 @@ def _sample_bilinear_matmul(img, x, y):
         (hgrid == iy0) * (1.0 - ty) + (hgrid == iy0 + 1) * ty
     ).astype(jnp.float32)  # (B, P, H)
     tmp = jnp.einsum(
-        "bpw,bchw->bcph", ohx, img, precision="float32"
+        "bpw,bchw->bcph", ohx, img, precision=_F32_PRECISION
     )
-    out = jnp.einsum("bph,bcph->bcp", ohy, tmp, precision="float32")
+    out = jnp.einsum("bph,bcph->bcp", ohy, tmp, precision=_F32_PRECISION)
     return out.reshape((B, C) + out_shape)
 
 

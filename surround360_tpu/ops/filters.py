@@ -19,6 +19,8 @@ the reference up to its one-pixel phase convention.
 
 from __future__ import annotations
 
+from .precision import F32_PRECISION as _F32_PRECISION
+
 from functools import lru_cache, partial
 
 import jax
@@ -96,8 +98,8 @@ def iir_lowpass_2d(
         return conv_separable_1d(out, axis_kernel(W), h_boundary, -1)
     rm = jnp.asarray(_iir_band_matrix(H, alpha, v_boundary))
     cm = jnp.asarray(_iir_band_matrix(W, alpha, h_boundary))
-    out = jnp.einsum("oh,...hw->...ow", rm, img, precision="float32")
-    out = jnp.einsum("pw,...ow->...op", cm, out, precision="float32")
+    out = jnp.einsum("oh,...hw->...ow", rm, img, precision=_F32_PRECISION)
+    out = jnp.einsum("pw,...ow->...op", cm, out, precision=_F32_PRECISION)
     return out
 
 

@@ -46,6 +46,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .precision import F32_PRECISION as _F32_PRECISION
+
 __all__ = ["fused_window_sample", "pallas_window_supported"]
 
 # VMEM accounting budget for one grid step's buffers (double-buffered
@@ -180,7 +182,9 @@ def _make_kernel(
         return acc
 
     prec = (
-        None if compute_dtype == "bfloat16" else jax.lax.Precision.HIGHEST
+        None
+        if compute_dtype == "bfloat16"
+        else jax.lax.Precision(_F32_PRECISION)
     )
 
     def compute_one(x, y, sy, sx, wl, write):
@@ -293,7 +297,10 @@ def _make_kernel(
 
         jax.lax.fori_loop(0, L, body, 0)
 
-    def kernel(sy_ref, sx_ref, padded_ref, xt_ref, yt_ref, out_ref, win, sem):
+    def kernel(
+        sy_ref, sx_ref, map_ref, padded_ref, xt_ref, yt_ref, out_ref, win,
+        sem,
+    ):
         from jax.experimental.pallas import tpu as pltpu
         import jax.experimental.pallas as pl
 
@@ -357,7 +364,8 @@ def _make_kernel(
     static_argnames=(
         "bh", "bw", "pad_y", "pad_x", "n_y", "n_x", "interpolation",
         "border", "group", "compute_dtype", "offsets", "base_bh",
-        "base_bw", "off_my", "off_mx", "lead_folded",
+        "base_bw", "off_my", "off_mx", "lead_folded", "vmem_limit",
+        "tile_map",
     ),
 )
 def fused_window_sample(
@@ -383,14 +391,26 @@ def fused_window_sample(
     off_my: int = 0,
     off_mx: int = 0,
     lead_folded: bool = False,
+    vmem_limit: int | None = None,
+    tile_map: tuple | None = None,
 ):
     """padded: (L, C, Hp, Wp) source, already padded by (pad_y, pad_x) on
     the low side (high-side padding must make every window slice
     in-bounds). sy/sx: (T, L) int32 window origins in padded coords,
     pre-clamped to [0, Hp - bh] / [0, Wp - bw] AND quantized to multiples
-    of (8, 128) — the VMEM/HBM memref tiling; DMA slice starts must be
-    tile-aligned. xt/yt: (T, L, P) float32 sample coords in PADDED units
-    (absolute + pad). Returns (T, L, C, P).
+    of (8, 128) — the VMEM/HBM memref tiling; xt/yt: (T, L, P) float32
+    sample coords in PADDED units (absolute + pad). Returns (T, L, C, P).
+
+    tile_map: optional STATIC tuple of ints selecting a SUBSET of
+    xt/yt's tiles to evaluate (sy/sx then have Tb rows and the output is
+    (Tb, L, C, P) in tile_map order). The selection rides the
+    scalar-prefetch channel into the BlockSpec index maps, so the full
+    coord array is consumed directly — measured on this platform
+    (2026-08-19): an XLA *gather* (coords[idx]) feeding a pallas_call
+    operand inside a larger jitted program kernel-faults the TPU worker,
+    while the same values via prefetched block indices (or static slices
+    / elementwise producers) are fine. The bucketed static remap selects
+    its row-extent buckets this way. Not supported with lead_folded.
 
     group: split each (tile, lead)'s P coords into this many sequential
     compute steps sharing one window DMA (P must divide into lane-aligned
@@ -414,6 +434,9 @@ def fused_window_sample(
     L, C, Hp, Wp = padded.shape
     P = xt.shape[-1]
     assert P % group == 0 and (P // group) % 128 == 0, (P, group)
+    assert not (lead_folded and tile_map is not None), (
+        "tile_map rides the non-folded grid's scalar-prefetch channel"
+    )
     kernel, kernel_folded = _make_kernel(
         C, L, P, group, bh, bw, pad_y, pad_x, n_y, n_x, interpolation,
         border, compute_dtype, offsets, base_bh, base_bw, off_my, off_mx,
@@ -452,7 +475,7 @@ def fused_window_sample(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(out_dims, jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_HW_LIMIT
+                vmem_limit_bytes=vmem_limit or _VMEM_HW_LIMIT
             ),
             interpret=jax.default_backend() != "tpu",
         )(sy.reshape(-1), sx.reshape(-1), padded, xt, yt)
@@ -461,31 +484,34 @@ def fused_window_sample(
     # (1, L, P) block would hold every lead's coords in VMEM per step
     xt2 = xt.reshape(T * L, 1, P)
     yt2 = yt.reshape(T * L, 1, P)
+    if tile_map is None:
+        tmap = np.arange(T, dtype=np.int32)
+    else:
+        tmap = np.asarray(tile_map, np.int32)
+    Tg = tmap.shape[0]  # grid tiles (= T unless tile_map selects a subset)
     if offsets is None:
-        out_shape = jax.ShapeDtypeStruct((T, L, C, P), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((Tg, L, C, P), jnp.float32)
         out_spec = pl.BlockSpec(
             (1, 1, C, P), lambda t, l, g, *_: (t, l, 0, 0),
             memory_space=pltpu.VMEM,
         )
     else:
-        out_shape = jax.ShapeDtypeStruct((T, L, O, C, P), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((Tg, L, O, C, P), jnp.float32)
         out_spec = pl.BlockSpec(
             (1, 1, O, C, P), lambda t, l, g, *_: (t, l, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
+
+    def coord_idx(t, l, g, sy_ref, sx_ref, map_ref):
+        return (map_ref[t] * L + l, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T, L, group),
+        num_scalar_prefetch=3,
+        grid=(Tg, L, group),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(
-                (1, 1, P), lambda t, l, g, *_: (t * L + l, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, P), lambda t, l, g, *_: (t * L + l, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, 1, P), coord_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), coord_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -498,7 +524,7 @@ def fused_window_sample(
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_HW_LIMIT
+            vmem_limit_bytes=vmem_limit or _VMEM_HW_LIMIT
         ),
         interpret=jax.default_backend() != "tpu",
-    )(sy.reshape(-1), sx.reshape(-1), padded, xt2, yt2)
+    )(sy.reshape(-1), sx.reshape(-1), jnp.asarray(tmap), padded, xt2, yt2)

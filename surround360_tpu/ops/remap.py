@@ -21,6 +21,8 @@ Conventions (matching OpenCV):
 
 from __future__ import annotations
 
+from .precision import F32_PRECISION as _F32_PRECISION
+
 from functools import partial
 
 import jax
@@ -173,8 +175,8 @@ def _remap_matmul_single(img, coords, interpolation, border):
         y_mode = "clamp" if border == "wrap" else "constant"
         ohx = _onehot_weights_1d(_pairs(taps_1d(x - x0, ix0)), W, x_mode)
         ohy = _onehot_weights_1d(_pairs(taps_1d(y - y0, iy0)), H, y_mode)
-        tmp = jnp.einsum("pw,chw->cph", ohx, img, precision="float32")
-        out = jnp.einsum("ph,cph->cp", ohy, tmp, precision="float32")
+        tmp = jnp.einsum("pw,chw->cph", ohx, img, precision=_F32_PRECISION)
+        out = jnp.einsum("ph,cph->cp", ohy, tmp, precision=_F32_PRECISION)
         return out.reshape(C, rows_per_chunk, Wo)
 
     out = jax.lax.map(chunk_fn, chunks)  # (n_chunks, C, rc, Wo)
@@ -304,6 +306,15 @@ def _remap_static_pallas(
         levels = sorted({int(-(-q // 8) * 8) for q in qs})
     else:
         levels = [int(bh_t.max())]
+    # Bucket selection must NOT gather the traced coord array: an XLA
+    # gather feeding a pallas_call operand inside a larger program
+    # kernel-faults the TPU worker (measured 2026-08-19 at the 6k fisheye
+    # geometry; eager/static-slice/elementwise producers are fine). Each
+    # bucket instead passes its tile indices as the kernel's STATIC
+    # tile_map — the selection rides the scalar-prefetch channel into the
+    # BlockSpec index maps and the full coord array is consumed directly.
+    xt_full = co[:, :, 0]
+    yt_full = co[:, :, 1]
     prev = -1
     for lv in levels:
         m = (bh_t > prev) & (bh_t <= lv)
@@ -317,8 +328,8 @@ def _remap_static_pallas(
                 padded,
                 jnp.asarray(sy[idx]),
                 jnp.asarray(sx[idx]),
-                co[idx, :, 0],
-                co[idx, :, 1],
+                xt_full,
+                yt_full,
                 bh=int(lv),
                 bw=bw,
                 pad_y=0,
@@ -327,6 +338,9 @@ def _remap_static_pallas(
                 n_x=W,
                 interpolation=interpolation,
                 border=border,
+                tile_map=None
+                if idx.size == T
+                else tuple(int(i) for i in idx),
             )
         )  # (Tb, N, C, P)
     inv = np.empty(T, np.int64)
@@ -518,16 +532,16 @@ def _remap_static_banded_bucketed(
             ohy = onehot(ys_, hb, y_mode if y_mode == "clamp" else "constant")
             if hb > wb and hb >= 512:
                 tmp = jnp.einsum(
-                    "xnph,xn...chw->xn...cpw", ohy, win_, precision="float32"
+                    "xnph,xn...chw->xn...cpw", ohy, win_, precision=_F32_PRECISION
                 )
                 return jnp.einsum(
-                    "xnpw,xn...cpw->xn...cp", ohx, tmp, precision="float32"
+                    "xnpw,xn...cpw->xn...cp", ohx, tmp, precision=_F32_PRECISION
                 )
             tmp = jnp.einsum(
-                "xnpw,xn...chw->xn...cph", ohx, win_, precision="float32"
+                "xnpw,xn...chw->xn...cph", ohx, win_, precision=_F32_PRECISION
             )
             return jnp.einsum(
-                "xnph,xn...cph->xn...cp", ohy, tmp, precision="float32"
+                "xnph,xn...cph->xn...cp", ohy, tmp, precision=_F32_PRECISION
             )
 
         def body(args):

@@ -15,6 +15,8 @@ replace. Gaussian blur uses the same trick with banded Toeplitz matrices.
 
 from __future__ import annotations
 
+from .precision import F32_PRECISION as _F32_PRECISION
+
 from functools import lru_cache, partial
 
 import jax
@@ -152,7 +154,7 @@ def conv_separable_1d(img, kernel_np, boundary: str, axis: int):
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_F32_PRECISION,
     )
     return jnp.moveaxis(out.reshape(lead + (n,)), -1, axis)
 
@@ -162,8 +164,8 @@ def _apply_separable_axis(img, mat, axis):
     img = jnp.asarray(img, jnp.float32)
     m = jnp.asarray(mat)
     if axis in (-2, img.ndim - 2):
-        return jnp.einsum("oh,...hw->...ow", m, img, precision="float32")
-    return jnp.einsum("pw,...hw->...hp", m, img, precision="float32")
+        return jnp.einsum("oh,...hw->...ow", m, img, precision=_F32_PRECISION)
+    return jnp.einsum("pw,...hw->...hp", m, img, precision=_F32_PRECISION)
 
 
 def _apply_separable(img, row_mat, col_mat):
@@ -172,8 +174,8 @@ def _apply_separable(img, row_mat, col_mat):
     img = jnp.asarray(img, jnp.float32)
     rm = jnp.asarray(row_mat)
     cm = jnp.asarray(col_mat)
-    out = jnp.einsum("oh,...hw->...ow", rm, img, precision="float32")
-    out = jnp.einsum("pw,...ow->...op", cm, out, precision="float32")
+    out = jnp.einsum("oh,...hw->...ow", rm, img, precision=_F32_PRECISION)
+    out = jnp.einsum("pw,...ow->...op", cm, out, precision=_F32_PRECISION)
     return out
 
 
@@ -220,7 +222,7 @@ def _double_axis_cubic(img, axis):
             window_strides=(1,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_F32_PRECISION,
         )
 
     even = phase(taps(0.75), -1)  # i0 = j - 1, t = 0.75

@@ -41,6 +41,8 @@ TestRenderStereoPanorama.cpp:483-503) with identical math inside the halo.
 
 from __future__ import annotations
 
+from .precision import resolve as _resolve_precision
+
 from typing import NamedTuple
 
 import jax
@@ -340,6 +342,7 @@ def sample_windows(
     tile_chunk > 0 bounds peak memory for large one-shot remaps by
     lax.map-ing over groups of ~tile_chunk tiles (the one-hot and stage-A
     intermediates scale with the number of tiles in flight)."""
+    precision = _resolve_precision(precision)
     p = plan
     # windows are (T, lead..., C, BH, BW); coords carry lead but not C
     n_lead_w = windows.ndim - 4
@@ -461,6 +464,7 @@ def sample_windows_sliced(img, plan: WindowPlan, x, y, precision="float32"):
     source. Peak extra memory is a single (bh, bw) window + its one-hots
     instead of T overlapping windows (6.3 GB for the 8k novel-view warp).
     Same math as build_windows + sample_windows with tile_chunk=1."""
+    precision = _resolve_precision(precision)
     p = plan
     padded = _padded_source(img, p)
     lead = img.shape[:-2]  # includes the channel dim
@@ -586,6 +590,7 @@ def sample_displaced_residual(
     Reference provenance: same math as PixFlow.h:493-534 sampling /
     cv::remap call sites; this is purely an access-pattern change.
     """
+    precision = _resolve_precision(precision)
     p = plan_windows(
         img.shape[-2:], x.shape[-2:], res_halo_y, res_halo_x,
         interpolation, border, tr, tc,
@@ -655,7 +660,7 @@ def sample_displaced_residual(
     if p.ntx == 1:
         s_x = jnp.full_like(s_x, P_x)
 
-    if backend != "xla" and precision == "float32":
+    if backend != "xla" and precision in ("float32", "bfloat16_3x", "tensorfloat32"):
         # fused Pallas kernel: window DMA + one-hots + both contractions
         # stay in VMEM (no HBM stage temps). Kernel windows are padded to
         # hardware tiling (bh mult 8, bw mult 128) with matching extra

@@ -20,6 +20,8 @@ Everything is batched over pairs: images (B, 4, H, W), flows (B, 2, H, W).
 
 from __future__ import annotations
 
+from ..ops.precision import F32_PRECISION as _F32_PRECISION
+
 from functools import lru_cache, partial
 
 import jax
@@ -108,7 +110,7 @@ def render_lazy_novel_view(
     # 1. resample flow at the lazy warp columns — 1-D bicubic as matmul
     S = jnp.asarray(_column_sample_matrix(W, tuple(np.round(warp_x, 6))))
     remapped_flow = jnp.einsum(
-        "cw,bfhw->bfhc", S, flow, precision="float32"
+        "cw,bfhw->bfhc", S, flow, precision=_F32_PRECISION
     )  # (B, 2, H, Wc)
 
     t = jnp.asarray(1.0 - t_cols if invert_t else t_cols)  # (Wc,)
