@@ -5,6 +5,14 @@ invocation loop: renders frames [start, end], carrying the temporal flow
 state across frames on-device (the reference serializes flow .bin files
 between subprocess invocations, TestRenderStereoPanorama.cpp:210-256).
 State is also serialized per frame (--save_state) for --resume parity.
+
+Output is PIPELINED one frame deep: frame t's programs are dispatched
+(JAX dispatch is asynchronous) before frame t-1's outputs are fetched,
+and PNG encode/state pickling run on a writer thread — so host IO and
+the ~35 ms/dispatch relay round-trip hide behind the TPU compute of the
+next frame (BASELINE.md round-4 dispatch-pipelining probe). The
+reference gets the same overlap from its prepare/join thread structure
+(TestRenderStereoPanorama.cpp:742-761).
 """
 
 from __future__ import annotations
@@ -13,6 +21,7 @@ import argparse
 import os
 import pickle
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -111,11 +120,64 @@ def render_video(
             "resumed temporal state from %s (%d ring keys, %d pole keys)",
             resume_state, len(ring), len(pole_state),
         )
-    for frame in range(start_frame, end_frame + 1):
+
+    writer = ThreadPoolExecutor(max_workers=2)
+    write_futs: list = []
+    pending = None  # (frame_name, outputs, state, pole_state, t_dispatch)
+
+    def _flush(pend):
+        """Fetch a dispatched frame's outputs (blocks until the device
+        finishes it) and hand PNG encode + state pickling to the writer
+        thread. Called AFTER the next frame is dispatched."""
+        frame_name, outputs, state_, pole_state_, t_disp = pend
+        eqr = np.asarray(outputs["equirect"])
+        eqr_path = os.path.join(
+            output_dir, "eqr_frames", f"eqr_{frame_name}.png"
+        )
+        write_futs.append(writer.submit(write_image, eqr_path, eqr))
+        if "cubemap" in outputs:
+            cube = np.asarray(outputs["cubemap"])
+            write_futs.append(
+                writer.submit(
+                    write_image,
+                    os.path.join(
+                        output_dir, "eqr_frames", f"cube_{frame_name}.png"
+                    ),
+                    cube,
+                )
+            )
+        if save_state_dir:
+            os.makedirs(save_state_dir, exist_ok=True)
+            blob = {k: np.asarray(v) for k, v in (state_ or {}).items()}
+            blob.update(
+                {f"pole:{k}": np.asarray(v) for k, v in pole_state_.items()}
+            )
+
+            def _save_state(blob=blob, frame_name=frame_name):
+                with open(
+                    os.path.join(
+                        save_state_dir, f"state_{frame_name}.pkl"
+                    ),
+                    "wb",
+                ) as f:
+                    pickle.dump(blob, f)
+                # GC state two frames back (batch_process_video.py:212-228)
+                stale = os.path.join(
+                    save_state_dir, f"state_{int(frame_name) - 2:06d}.pkl"
+                )
+                if os.path.exists(stale):
+                    os.remove(stale)
+
+            write_futs.append(writer.submit(_save_state))
+        log.info(
+            "frame %s rendered in %.2fs", frame_name, time.time() - t_disp
+        )
+
+    def _read_frame_inputs(frame: int) -> dict:
+        """Decode one frame's camera PNGs on the host (prefetchable)."""
         frame_name = f"{frame:06d}"
-        t0 = time.time()
-        side = jnp.asarray(
-            np.stack(
+        ins = {
+            "side": np.stack(
                 [
                     read_image_rgba(
                         os.path.join(imgs_dir, cam_id, frame_name + ".png")
@@ -123,34 +185,44 @@ def render_video(
                     for cam_id in rig.side_ids
                 ]
             )
-        )
-        top = bottom = None
+        }
         if config.enable_top:
-            top = jnp.asarray(
-                read_image_rgba(
-                    os.path.join(
-                        imgs_dir,
-                        rig.ids[rig.top_camera_index],
-                        frame_name + ".png",
-                    )
+            ins["top"] = read_image_rgba(
+                os.path.join(
+                    imgs_dir,
+                    rig.ids[rig.top_camera_index],
+                    frame_name + ".png",
                 )
             )
         if config.enable_bottom:
             bottom_id = rig.ids[rig.bottom_camera_index]
-            bottom = jnp.asarray(
-                read_image_rgba(
-                    os.path.join(imgs_dir, bottom_id, frame_name + ".png")
-                )
+            ins["bottom"] = read_image_rgba(
+                os.path.join(imgs_dir, bottom_id, frame_name + ".png")
             )
             if config.enable_pole_removal:
-                from ..geometry.camera import approximate_usable_pixels_radius
-
                 bottom2_id = rig.ids[rig.bottom_camera2_index]
-                bottom2 = jnp.asarray(
-                    read_image_rgba(
-                        os.path.join(imgs_dir, bottom2_id, frame_name + ".png")
-                    )
+                ins["bottom2"] = read_image_rgba(
+                    os.path.join(imgs_dir, bottom2_id, frame_name + ".png")
                 )
+        return ins
+
+    read_fut = writer.submit(_read_frame_inputs, start_frame)
+    for frame in range(start_frame, end_frame + 1):
+        frame_name = f"{frame:06d}"
+        t0 = time.time()
+        ins = read_fut.result()
+        if frame < end_frame:
+            read_fut = writer.submit(_read_frame_inputs, frame + 1)
+        side = jnp.asarray(ins["side"])
+        top = bottom = None
+        if config.enable_top:
+            top = jnp.asarray(ins["top"])
+        if config.enable_bottom:
+            bottom_id = rig.ids[rig.bottom_camera_index]
+            bottom = jnp.asarray(ins["bottom"])
+            if config.enable_pole_removal:
+                bottom2_id = rig.ids[rig.bottom_camera2_index]
+                bottom2 = jnp.asarray(ins["bottom2"])
                 mask = _load_pole_mask(pole_masks_dir, bottom_id, bottom.shape[-2:])
                 mask2 = _load_pole_mask(pole_masks_dir, bottom2_id, bottom2.shape[-2:])
                 bottom, pole_flow = combine_bottom_images_with_pole_removal(
@@ -222,32 +294,21 @@ def render_video(
                         write_image(
                             os.path.join(dbg_dir, f"{key}.png"), arr
                         )
-        eqr_path = os.path.join(output_dir, "eqr_frames", f"eqr_{frame_name}.png")
-        write_image(eqr_path, np.asarray(outputs["equirect"]))
-        if "cubemap" in outputs:
-            write_image(
-                os.path.join(
-                    output_dir, "eqr_frames", f"cube_{frame_name}.png"
-                ),
-                np.asarray(outputs["cubemap"]),
-            )
-        if save_state_dir:
-            os.makedirs(save_state_dir, exist_ok=True)
-            blob = {k: np.asarray(v) for k, v in state.items()}
-            blob.update(
-                {f"pole:{k}": np.asarray(v) for k, v in pole_state.items()}
-            )
-            with open(
-                os.path.join(save_state_dir, f"state_{frame_name}.pkl"), "wb"
-            ) as f:
-                pickle.dump(blob, f)
-            # GC state two frames back (batch_process_video.py:212-228)
-            stale = os.path.join(
-                save_state_dir, f"state_{frame - 2:06d}.pkl"
-            )
-            if os.path.exists(stale):
-                os.remove(stale)
-        log.info("frame %s rendered in %.2fs", frame_name, time.time() - t0)
+        # one-frame-deep pipeline: fetch/write the PREVIOUS frame only
+        # after this frame's programs are in the device queue. The debug
+        # path stays synchronous (it fetches intermediates eagerly).
+        prev_pending = pending
+        pending = (frame_name, outputs, state, pole_state, t0)
+        if save_debug_images:
+            _flush(pending)
+            pending = None
+        elif prev_pending is not None:
+            _flush(prev_pending)
+    if pending is not None:
+        _flush(pending)
+    for fut in write_futs:
+        fut.result()  # surface writer-thread exceptions
+    writer.shutdown()
     return state
 
 
