@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -111,6 +112,15 @@ def _preset_bench(preset: str):
     for o in outs:
         np.asarray(o[0, 0, 0])
     fps = n_frames / (time.time() - t0)
+    if os.environ.get("S360_BENCH_MEMSTATS") == "1":
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(
+                f"# peak HBM {peak / 2**30:.2f} GiB of "
+                f"{stats.get('bytes_limit', 0) / 2**30:.2f} GiB",
+                file=sys.stderr,
+            )
     return fps, (
         f"stereo equirect render fps ({preset} preset {eqr_w}x{eqr_h}/eye"
         f" -> {fin_w}x{fin_h} final, 2048px cams, full pipeline incl. 28 "

@@ -38,6 +38,8 @@ from ..ops.precision import F32_PRECISION as _F32_PRECISION
 from functools import partial
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -241,6 +243,13 @@ MATMUL_SAMPLER_MAX_ELEMS = 96 * 1024 * 1024
 # batched sample (small levels take all ~13 at once; huge levels fall back
 # to per-candidate eval with tile chunking).
 ERROR_EVAL_MAX_ELEMS = 128 * 1024 * 1024
+
+# Offset-ranking kernel tiling (pixflow_tpu_offsets preset), env-tunable
+# for perf A/B: larger tiles amortize the kernel's measured ~57 us/step
+# overhead (BASELINE.md round-4 offset-ranking experiment) over more
+# output pixels per window DMA.
+_OFFSET_RANK_TR = int(os.environ.get("S360_FLOW_OFFSET_TR", "8"))
+_OFFSET_RANK_TC = int(os.environ.get("S360_FLOW_OFFSET_TC", "128"))
 
 # Window-stack element budget for the flow samplers. Small tiles minimize
 # matmul FLOPs (window area sets the contraction size) and are the
@@ -626,7 +635,7 @@ def _propagation_and_search(
                 )
                 off_samplers[(d, offs)] = make_window_sampler(
                     I1g_ext, (H, W), halo_y, halo_x, "bilinear", "clamp",
-                    tr=8, tc=128,
+                    tr=_OFFSET_RANK_TR, tc=_OFFSET_RANK_TC,
                     precision=params.error_sampler_precision,
                     offsets=offs,
                 )

@@ -268,6 +268,12 @@ def build_render_context(rig: Rig, config: RenderConfig) -> RenderContext:
 # dominates the frame (round-2 BASELINE.md 6k/8k stage tables).
 RESIDUAL_SAMPLER_MIN_EQR_W = 3000
 
+# Residual-window tiling of the pole composite warp, env-tunable for
+# perf A/B (same padding-waste economics as views/novel_view.py's
+# NOVEL_RESIDUAL_* knobs: window cols pad to a 128 multiple).
+_POLE_WARP_TR = int(os.environ.get("S360_POLE_WARP_TR", "8"))
+_POLE_WARP_TC = int(os.environ.get("S360_POLE_WARP_TC", "128"))
+
 
 def _banded_chunk_rows(h_out: int) -> int:
     """Row-chunk size for static banded remaps: measured-fast 16 at small
@@ -578,8 +584,8 @@ def _pole_flow_core(ctx: RenderContext, side_pano, fish, prev, use_temporal):
             res_halo_x=max(16, eqr_w // 256),
             interpolation="bicubic",
             border="constant",
-            tr=8,
-            tc=128,
+            tr=_POLE_WARP_TR,
+            tc=_POLE_WARP_TC,
             group=64,
         )
     else:

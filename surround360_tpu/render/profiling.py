@@ -177,6 +177,7 @@ def stage_breakdown(
         "pole_flow_solve": {"novel_view", "fisheye_strip"},
         "pole_flow_composite_one": {"novel_view", "fisheye_strip"},
         "pole_merged": {"novel_view", "fisheye_strip"},
+        "output": set(),
         "full_frame": set(),
     }
     if stages is None:
@@ -339,6 +340,39 @@ def stage_breakdown(
                 "pole_merged",
                 _time(merged_fn, pano2, top_strip, top_strip, reps=reps),
             )
+
+    if want("output"):
+        # sharpen + final resize + stereo stack (_finalize_outputs), fed
+        # a synthetic pano2 — the frame-time remainder the stage table
+        # otherwise can't attribute
+        from .panorama import _final_resize_shape, _finalize_outputs
+
+        final = _final_resize_shape(cfg)
+        mats = {}
+        if final is not None:
+            from ..ops.resize import resize_matrix_cubic
+
+            if final[0] != cfg.eqr_height:
+                mats["row"] = jnp.asarray(
+                    resize_matrix_cubic(cfg.eqr_height, final[0])
+                )
+            if final[1] != cfg.eqr_width:
+                mats["col"] = jnp.asarray(
+                    resize_matrix_cubic(cfg.eqr_width, final[1])
+                )
+        pano2_in = (
+            pano2
+            if pano2 is not None
+            else jnp.zeros(
+                (2, 4, cfg.eqr_height, cfg.eqr_width), jnp.float32
+            )
+        )
+        out_fn = jax.jit(
+            lambda p2, m: _finalize_outputs(ctx, p2, resize_mats=m)[
+                "equirect"
+            ]
+        )
+        record("output", _time(out_fn, pano2_in, mats, reps=reps))
 
     if want("full_frame"):
         frame_fn = jax.jit(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from ..ops.precision import F32_PRECISION as _F32_PRECISION
 
+import os as _os
 from functools import lru_cache, partial
 
 import jax
@@ -50,6 +51,19 @@ __all__ = [
 # Module-level so tests can force the residual path at small scales.
 RESIDUAL_MIN_HALO_Y = 64
 RESIDUAL_MIN_HALO_X = 96
+
+# Residual-window tiling of the lazy render, env-tunable for perf A/B
+# (S360_NOVEL_TR/TC/RHY/RHX). The kernel pads window cols to a multiple
+# of 128, so tc=64's (tc + 2*rhx + 3 = 147)-col window DMAs 256 cols —
+# 42% wasted bytes; tc=128 fills the same padded window with 2x the
+# output pixels. res halos must cover the within-tile displacement
+# spread (t-ramp slope x tile cols + local flow texture): taps beyond
+# them sample zero, so too-small halos show up directly in the
+# preset-quality PSNR (BASELINE.md round-4 table re-run on change).
+NOVEL_RESIDUAL_TR = int(_os.environ.get("S360_NOVEL_TR", "8"))
+NOVEL_RESIDUAL_TC = int(_os.environ.get("S360_NOVEL_TC", "64"))
+NOVEL_RESIDUAL_RHY = int(_os.environ.get("S360_NOVEL_RHY", "24"))
+NOVEL_RESIDUAL_RHX = int(_os.environ.get("S360_NOVEL_RHX", "40"))
 
 
 def lazy_warp_columns(
@@ -140,12 +154,12 @@ def render_lazy_novel_view(
                 warp_comp_y,
                 halo_y=halo_y,
                 halo_x=halo_x,
-                res_halo_y=min(halo_y, 24),
-                res_halo_x=min(halo_x, 40),
+                res_halo_y=min(halo_y, NOVEL_RESIDUAL_RHY),
+                res_halo_x=min(halo_x, NOVEL_RESIDUAL_RHX),
                 interpolation="bicubic",
                 border="constant",
-                tr=8,
-                tc=64,
+                tr=NOVEL_RESIDUAL_TR,
+                tc=NOVEL_RESIDUAL_TC,
                 group=32,
             )
         else:
