@@ -123,6 +123,7 @@ def render_video(
 
     writer = ThreadPoolExecutor(max_workers=2)
     write_futs: list = []
+    save_futs: dict[int, object] = {}  # frame -> its state-save future
     pending = None  # (frame_name, outputs, state, pole_state, t_dispatch)
 
     def _flush(pend):
@@ -161,14 +162,30 @@ def render_video(
                     "wb",
                 ) as f:
                     pickle.dump(blob, f)
-                # GC state two frames back (batch_process_video.py:212-228)
-                stale = os.path.join(
-                    save_state_dir, f"state_{int(frame_name) - 2:06d}.pkl"
-                )
-                if os.path.exists(stale):
-                    os.remove(stale)
 
-            write_futs.append(writer.submit(_save_state))
+            fut = writer.submit(_save_state)
+            write_futs.append(fut)
+            frame_no = int(frame_name)
+            save_futs[frame_no] = fut
+            save_futs.pop(frame_no - 2, None)
+
+            # GC state two frames back (batch_process_video.py:212-228) —
+            # chained to THIS frame's save completing, so the "two most
+            # recent state files on disk" resume guarantee holds at every
+            # instant (deleting N-2 while N is still queued could leave a
+            # crash with only stale state on disk)
+            def _gc_stale(f, stale_frame=frame_no - 2):
+                if f.exception() is not None:
+                    return  # save failed; keep the older state
+                stale = os.path.join(
+                    save_state_dir, f"state_{stale_frame:06d}.pkl"
+                )
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
+
+            fut.add_done_callback(_gc_stale)
         log.info(
             "frame %s rendered in %.2fs", frame_name, time.time() - t_disp
         )
@@ -206,109 +223,139 @@ def render_video(
                 )
         return ins
 
-    read_fut = writer.submit(_read_frame_inputs, start_frame)
-    for frame in range(start_frame, end_frame + 1):
-        frame_name = f"{frame:06d}"
-        t0 = time.time()
-        ins = read_fut.result()
-        if frame < end_frame:
-            read_fut = writer.submit(_read_frame_inputs, frame + 1)
-        side = jnp.asarray(ins["side"])
-        top = bottom = None
-        if config.enable_top:
-            top = jnp.asarray(ins["top"])
-        if config.enable_bottom:
-            bottom_id = rig.ids[rig.bottom_camera_index]
-            bottom = jnp.asarray(ins["bottom"])
-            if config.enable_pole_removal:
-                bottom2_id = rig.ids[rig.bottom_camera2_index]
-                bottom2 = jnp.asarray(ins["bottom2"])
-                mask = _load_pole_mask(pole_masks_dir, bottom_id, bottom.shape[-2:])
-                mask2 = _load_pole_mask(pole_masks_dir, bottom2_id, bottom2.shape[-2:])
-                bottom, pole_flow = combine_bottom_images_with_pole_removal(
+    def _surface_writer_errors():
+        """Raise promptly if any completed writer task failed, so a disk
+        or encode error aborts the run now instead of after every frame."""
+        remaining = []
+        for f in write_futs:
+            if f.done():
+                f.result()
+            else:
+                remaining.append(f)
+        write_futs[:] = remaining
+
+    try:
+        read_fut = writer.submit(_read_frame_inputs, start_frame)
+        for frame in range(start_frame, end_frame + 1):
+            frame_name = f"{frame:06d}"
+            t0 = time.time()
+            ins = read_fut.result()
+            if frame < end_frame:
+                read_fut = writer.submit(_read_frame_inputs, frame + 1)
+            side = jnp.asarray(ins["side"])
+            top = bottom = None
+            if config.enable_top:
+                top = jnp.asarray(ins["top"])
+            if config.enable_bottom:
+                bottom_id = rig.ids[rig.bottom_camera_index]
+                bottom = jnp.asarray(ins["bottom"])
+                if config.enable_pole_removal:
+                    bottom2_id = rig.ids[rig.bottom_camera2_index]
+                    bottom2 = jnp.asarray(ins["bottom2"])
+                    mask = _load_pole_mask(pole_masks_dir, bottom_id, bottom.shape[-2:])
+                    mask2 = _load_pole_mask(pole_masks_dir, bottom2_id, bottom2.shape[-2:])
+                    bottom, pole_flow = combine_bottom_images_with_pole_removal(
+                        bottom,
+                        bottom2,
+                        mask,
+                        mask2,
+                        ctx.bottom_usable_radius,
+                        ctx.bottom2_usable_radius,
+                        ctx.pole_flip180,
+                        make_flow_params(config.poleremoval_flow_alg),
+                        config.std_alpha_feather_size,
+                        prev_flow=pole_state.get("pole_flow"),
+                        prev_bottom=pole_state.get("prev_bottom"),
+                        prev_bottom2=pole_state.get("prev_bottom2"),
+                        use_temporal="pole_flow" in pole_state,
+                    )
+                    pole_state = {
+                        "pole_flow": pole_flow,
+                        "prev_bottom": bottom,
+                        "prev_bottom2": bottom2,
+                    }
+
+            if profile_stages and frame == start_frame:
+                # per-stage device-time table, the analog of the reference's
+                # per-frame stage log (TestRenderStereoPanorama.cpp:963-971)
+                from ..render.profiling import format_breakdown, stage_breakdown
+
+                log.info(
+                    "%s", format_breakdown(*stage_breakdown(ctx, side, top, bottom))
+                )
+
+            if save_debug_images:
+                outputs, state = render_frame(
+                    ctx,
+                    side,
+                    top,
                     bottom,
-                    bottom2,
-                    mask,
-                    mask2,
-                    ctx.bottom_usable_radius,
-                    ctx.bottom2_usable_radius,
-                    ctx.pole_flip180,
-                    make_flow_params(config.poleremoval_flow_alg),
-                    config.std_alpha_feather_size,
-                    prev_flow=pole_state.get("pole_flow"),
-                    prev_bottom=pole_state.get("prev_bottom"),
-                    prev_bottom2=pole_state.get("prev_bottom2"),
-                    use_temporal="pole_flow" in pole_state,
+                    state=state,
+                    use_temporal=state is not None,
+                    save_debug=True,
                 )
-                pole_state = {
-                    "pole_flow": pole_flow,
-                    "prev_bottom": bottom,
-                    "prev_bottom2": bottom2,
-                }
-
-        if profile_stages and frame == start_frame:
-            # per-stage device-time table, the analog of the reference's
-            # per-frame stage log (TestRenderStereoPanorama.cpp:963-971)
-            from ..render.profiling import format_breakdown, stage_breakdown
-
-            log.info(
-                "%s", format_breakdown(*stage_breakdown(ctx, side, top, bottom))
-            )
-
-        if save_debug_images:
-            outputs, state = render_frame(
-                ctx,
-                side,
-                top,
-                bottom,
-                state=state,
-                use_temporal=state is not None,
-                save_debug=True,
-            )
-        else:
-            outputs, state = jitted(state is not None)(
-                side, top, bottom, state
-            )
-        if save_debug_images and "debug" in outputs:
-            dbg_dir = os.path.join(output_dir, "debug", frame_name)
-            os.makedirs(dbg_dir, exist_ok=True)
-            dbg = outputs["debug"]
-            for i in range(dbg["projections"].shape[0]):
-                write_image(
-                    os.path.join(dbg_dir, f"crop_{rig.side_ids[i]}.png"),
-                    np.asarray(dbg["projections"][i]),
+            else:
+                outputs, state = jitted(state is not None)(
+                    side, top, bottom, state
                 )
-            for key in (
-                "spherical_l", "spherical_r", "top_strip", "top_warped",
-                "bottom_strip", "bottom_warped",
-            ):
-                if key in dbg:
-                    arr = np.asarray(dbg[key])
-                    if arr.ndim == 4:  # (2, 4, H, W) per-eye layers
-                        for eye, name in enumerate(("left", "right")):
+            if save_debug_images and "debug" in outputs:
+                dbg_dir = os.path.join(output_dir, "debug", frame_name)
+                os.makedirs(dbg_dir, exist_ok=True)
+                dbg = outputs["debug"]
+                for i in range(dbg["projections"].shape[0]):
+                    write_image(
+                        os.path.join(dbg_dir, f"crop_{rig.side_ids[i]}.png"),
+                        np.asarray(dbg["projections"][i]),
+                    )
+                for key in (
+                    "spherical_l", "spherical_r", "top_strip", "top_warped",
+                    "bottom_strip", "bottom_warped",
+                ):
+                    if key in dbg:
+                        arr = np.asarray(dbg[key])
+                        if arr.ndim == 4:  # (2, 4, H, W) per-eye layers
+                            for eye, name in enumerate(("left", "right")):
+                                write_image(
+                                    os.path.join(dbg_dir, f"{key}_{name}.png"),
+                                    arr[eye],
+                                )
+                        else:
                             write_image(
-                                os.path.join(dbg_dir, f"{key}_{name}.png"),
-                                arr[eye],
+                                os.path.join(dbg_dir, f"{key}.png"), arr
                             )
-                    else:
-                        write_image(
-                            os.path.join(dbg_dir, f"{key}.png"), arr
-                        )
-        # one-frame-deep pipeline: fetch/write the PREVIOUS frame only
-        # after this frame's programs are in the device queue. The debug
-        # path stays synchronous (it fetches intermediates eagerly).
-        prev_pending = pending
-        pending = (frame_name, outputs, state, pole_state, t0)
-        if save_debug_images:
+            # one-frame-deep pipeline: fetch/write the PREVIOUS frame only
+            # after this frame's programs are in the device queue. The debug
+            # path stays synchronous (it fetches intermediates eagerly).
+            prev_pending = pending
+            pending = (frame_name, outputs, state, pole_state, t0)
+            if save_debug_images:
+                _flush(pending)
+                pending = None
+            elif prev_pending is not None:
+                _flush(prev_pending)
+            _surface_writer_errors()
+        if pending is not None:
             _flush(pending)
             pending = None
-        elif prev_pending is not None:
-            _flush(prev_pending)
-    if pending is not None:
-        _flush(pending)
-    for fut in write_futs:
-        fut.result()  # surface writer-thread exceptions
-    writer.shutdown()
+        for fut in write_futs:
+            fut.result()  # surface writer-thread exceptions
+        write_futs.clear()
+    finally:
+        # on abort (e.g. the prefetched read for frame N+1 failing), the
+        # already-dispatched frame N must still be persisted, and the
+        # executor must be shut down — otherwise its PNG + state pkl are
+        # silently lost and the process can hang on daemon-less threads
+        if pending is not None:
+            try:
+                _flush(pending)
+            except Exception:
+                log.exception("failed to flush the in-flight frame on abort")
+        for fut in write_futs:
+            try:
+                fut.result()
+            except Exception:
+                log.exception("writer task failed during shutdown")
+        writer.shutdown(wait=True)
     return state
 
 

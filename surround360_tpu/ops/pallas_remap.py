@@ -3,9 +3,11 @@
 The XLA window samplers (`ops/window_sampler.py`, `ops/remap.py`'s banded
 static remap) express interpolation as two one-hot matmuls, which forces
 the (C, P, band) stage-A intermediate and both one-hot operands through
-HBM — measured 593 GiB of traffic for the 6k projection stage alone
-(~300x the image data; BASELINE.md "Round-3 measured results"). This kernel fuses
-window extraction, one-hot construction and both contractions in VMEM:
+HBM — historically 593 GiB of traffic for the 6k projection stage on the
+superseded XLA route (~300x the image data; the number that motivated
+this kernel). With the fusion below the same stage's measured traffic is
+11.0 GiB (BASELINE.md round-4 roofline). The kernel fuses window
+extraction, one-hot construction and both contractions in VMEM:
 
   per grid step (tile t, lead l, group g):
     DMA  padded[l, :, sy[t,l]:sy[t,l]+BH, sx[t,l]:sx[t,l]+BW] -> VMEM
@@ -97,6 +99,7 @@ def pallas_window_supported(
 def _make_kernel(
     C, L, P, G, bh, bw, pad_y, pad_x, n_y, n_x, interpolation, border,
     compute_dtype, offsets=None, bhb=None, bwb=None, off_my=0, off_mx=0,
+    precision=None,
 ):
     """offsets: optional static ((oy, ox), ...) integer displacements. In
     offsets mode the DMA'd window (bh, bw) is the base extent widened by
@@ -181,10 +184,15 @@ def _make_kernel(
             acc = acc + ((grid == idx[:, None]) * w[:, None]).astype(cdt)
         return acc
 
+    # f32 contraction passes: the caller's RESOLVED per-call precision
+    # (threaded through fused_window_sample) wins; the module-global env
+    # default is only the fallback — so an explicit
+    # precision="bfloat16_3x" argument computes the same way on the
+    # Pallas and XLA backends
     prec = (
         None
         if compute_dtype == "bfloat16"
-        else jax.lax.Precision(_F32_PRECISION)
+        else jax.lax.Precision(precision or _F32_PRECISION)
     )
 
     def compute_one(x, y, sy, sx, wl, write):
@@ -365,7 +373,7 @@ def _make_kernel(
         "bh", "bw", "pad_y", "pad_x", "n_y", "n_x", "interpolation",
         "border", "group", "compute_dtype", "offsets", "base_bh",
         "base_bw", "off_my", "off_mx", "lead_folded", "vmem_limit",
-        "tile_map",
+        "tile_map", "precision",
     ),
 )
 def fused_window_sample(
@@ -393,6 +401,7 @@ def fused_window_sample(
     lead_folded: bool = False,
     vmem_limit: int | None = None,
     tile_map: tuple | None = None,
+    precision: str | None = None,
 ):
     """padded: (L, C, Hp, Wp) source, already padded by (pad_y, pad_x) on
     the low side (high-side padding must make every window slice
@@ -440,6 +449,7 @@ def fused_window_sample(
     kernel, kernel_folded = _make_kernel(
         C, L, P, group, bh, bw, pad_y, pad_x, n_y, n_x, interpolation,
         border, compute_dtype, offsets, base_bh, base_bw, off_my, off_mx,
+        precision,
     )
     T = xt.shape[0]
     O = None if offsets is None else len(offsets)

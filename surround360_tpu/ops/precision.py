@@ -34,3 +34,18 @@ def resolve(precision):
     """Map the samplers' "float32" sentinel to the session policy; pass
     any other explicit setting (e.g. "bfloat16" ranking mode) through."""
     return F32_PRECISION if precision == "float32" else precision
+
+
+def is_f32_class(precision) -> bool:
+    """True when a resolved precision string means "f32-accurate
+    multi-pass MXU emulation" (lax.Precision HIGHEST or HIGH) — the class
+    of settings eligible for the fused Pallas sampler's exact path. The
+    single source of truth for the alias set, so the fused-path gates
+    can't drift from what :func:`resolve` accepts."""
+    import jax
+
+    try:
+        prec = jax.lax.Precision(precision)
+    except (ValueError, TypeError):
+        return False
+    return prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH)

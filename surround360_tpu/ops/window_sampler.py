@@ -41,6 +41,7 @@ TestRenderStereoPanorama.cpp:483-503) with identical math inside the halo.
 
 from __future__ import annotations
 
+from .precision import is_f32_class as _is_f32_class
 from .precision import resolve as _resolve_precision
 
 from typing import NamedTuple
@@ -660,7 +661,7 @@ def sample_displaced_residual(
     if p.ntx == 1:
         s_x = jnp.full_like(s_x, P_x)
 
-    if backend != "xla" and precision in ("float32", "bfloat16_3x", "tensorfloat32"):
+    if backend != "xla" and _is_f32_class(precision):
         # fused Pallas kernel: window DMA + one-hots + both contractions
         # stay in VMEM (no HBM stage temps). Kernel windows are padded to
         # hardware tiling (bh mult 8, bw mult 128) with matching extra
@@ -693,6 +694,7 @@ def sample_displaced_residual(
                 n_x=W,
                 interpolation=interpolation,
                 border=border,
+                precision=precision,
             )  # (T, L, C, P)
             out = out.reshape((p.nty, p.ntx, L * C, p.tr, p.tc))
             out = out.transpose((2, 0, 3, 1, 4))
@@ -880,6 +882,13 @@ def make_window_sampler(
     B, C, H, W = img.shape
     Ho, Wo = out_hw
 
+    # resolve the session policy once; everything downstream (the fused
+    # kernel's contraction passes, the XLA fallback's einsums, the bf16
+    # compute_dtype choice) derives from the SAME resolved string so the
+    # two backends cannot diverge for identical arguments
+    precision = _resolve_precision(precision)
+    compute_dtype = "float32" if _is_f32_class(precision) else "bfloat16"
+
     use_pallas = backend == "pallas" or (
         backend != "xla" and jax.default_backend() == "tpu"
     )
@@ -907,8 +916,7 @@ def make_window_sampler(
         bw_k = -(-(p.bw + 2 * mx + (127 if xq else 0)) // 128) * 128
         Pt = p.tr * p.tc
         group_probe = _pick_kernel_group(
-            C, -(-Pt // 128) * 128, bh_k, bw_k, B,
-            "bfloat16" if precision == "default" else "float32",
+            C, -(-Pt // 128) * 128, bh_k, bw_k, B, compute_dtype,
             n_off, n_ox,
         )
         if group_probe == 0:
@@ -950,7 +958,6 @@ def make_window_sampler(
     from .pallas_remap import fused_window_sample
 
     p = plan
-    compute_dtype = "bfloat16" if precision == "default" else "float32"
     # offsets mode reads the margin around the base window, so the source
     # padding must replicate edges for tap-clamp semantics (zeros for
     # "constant"); the base path never weights padded pixels
@@ -1008,6 +1015,7 @@ def make_window_sampler(
             group=G, compute_dtype=compute_dtype,
             offsets=offsets, base_bh=p.bh, base_bw=p.bw,
             off_my=my, off_mx=mx, lead_folded=True,
+            precision=precision if compute_dtype == "float32" else None,
         )  # (T, B, C, P) or (T, B, O, C, P)
         O = 1 if offsets is None else len(offsets)
         out = out[..., :P0]

@@ -367,12 +367,25 @@ def stage_breakdown(
                 (2, 4, cfg.eqr_height, cfg.eqr_width), jnp.float32
             )
         )
+        # cubemap warps must ride as traced args when enabled: tracing
+        # the cubemap branch with cubemap_warps=None captures the host
+        # warp tables as constants — the large-constant compile blowup
+        # make_jitted_renderer explicitly avoids at 6k+
+        cub = None
+        if cfg.cubemap_width > 0 and cfg.cubemap_height > 0:
+            from .panorama import _plan_cubemap
+
+            eq_w, po_w, _, _ = _plan_cubemap(
+                cfg.eqr_height, cfg.eqr_width, cfg.cubemap_width,
+                cfg.cubemap_height,
+            )
+            cub = {"eq": jnp.asarray(eq_w), "po": jnp.asarray(po_w)}
         out_fn = jax.jit(
-            lambda p2, m: _finalize_outputs(ctx, p2, resize_mats=m)[
-                "equirect"
-            ]
+            lambda p2, m, c: _finalize_outputs(
+                ctx, p2, resize_mats=m, cubemap_warps=c
+            )["equirect"]
         )
-        record("output", _time(out_fn, pano2_in, mats, reps=reps))
+        record("output", _time(out_fn, pano2_in, mats, cub, reps=reps))
 
     if want("full_frame"):
         frame_fn = jax.jit(
