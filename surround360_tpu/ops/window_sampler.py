@@ -672,9 +672,21 @@ def sample_displaced_residual(
         # quantize origins DOWN and grow windows by the quantization slack
         bh_k = -(-(p.bh + 7) // 8) * 8
         bw_k = -(-(p.bw + 127) // 128) * 128
-        ok = pallas_window_supported(C, p.tr * p.tc, bh_k, bw_k, L)
+        # smallest group splitting the tile's P coords into lane-aligned
+        # VMEM-fitting compute chunks sharing one window DMA: large tiles
+        # (fewer grid steps — the per-step transition overhead dominated
+        # the 6k novel-view stage) stay on the fused route instead of
+        # falling back to XLA the moment group=1 exceeds the budget
+        Pt_k = p.tr * p.tc
+        grp = 0
+        for g_try in range(1, max(1, Pt_k // 128) + 1):
+            if Pt_k % g_try or (Pt_k // g_try) % 128:
+                continue
+            if pallas_window_supported(C, Pt_k, bh_k, bw_k, L, g_try):
+                grp = g_try
+                break
         if backend == "pallas" or (
-            ok and jax.default_backend() == "tpu"
+            grp > 0 and jax.default_backend() == "tpu"
         ):
             padded_k = jnp.pad(
                 padded,
@@ -694,6 +706,7 @@ def sample_displaced_residual(
                 n_x=W,
                 interpolation=interpolation,
                 border=border,
+                group=max(grp, 1),
                 precision=precision,
             )  # (T, L, C, P)
             out = out.reshape((p.nty, p.ntx, L * C, p.tr, p.tc))

@@ -93,8 +93,11 @@ class RenderConfig:
     # 1.0 = full res, the reference's geometry
     # (TestRenderStereoPanorama.cpp:388-561); it works since the banded
     # window sampler replaced the dense one-hot remap whose wide-shape
-    # program faulted the round-1 TPU worker.
-    polar_flow_scale: float = 0.5
+    # program faulted the round-1 TPU worker. Round 5: default 0.25 —
+    # after the NaN-origin sanitize the 6k pole stage runs clean at 0.25
+    # (pole_merged 2631 -> 1263 ms) at full-sphere quality parity
+    # (49.9/49.8 dB vs 49.6/49.8 at 0.5; BASELINE.md round-5).
+    polar_flow_scale: float = 0.25
     cubemap_width: int = 0
     cubemap_height: int = 0
     cubemap_format: str = "video"

@@ -107,6 +107,27 @@ def _column_sample_matrix(src_width: int, warp_x_key: tuple) -> np.ndarray:
     return m.astype(np.float32)
 
 
+def _lazy_warp_compose(flow, warp_x: np.ndarray, t_cols: np.ndarray,
+                       invert_t: bool):
+    """Flow resample + warp composition of one lazy render (the cheap
+    half of NovelView.cpp:174-224): returns (warp_comp_x, warp_comp_y,
+    t (Wc,), flow_mag (B, H, Wc))."""
+    B, _, H, W = flow.shape
+    # 1. resample flow at the lazy warp columns — 1-D bicubic as matmul
+    S = jnp.asarray(_column_sample_matrix(W, tuple(np.round(warp_x, 6))))
+    remapped_flow = jnp.einsum(
+        "cw,bfhw->bfhc", S, flow, precision=_F32_PRECISION
+    )  # (B, 2, H, Wc)
+    t = jnp.asarray(1.0 - t_cols if invert_t else t_cols)  # (Wc,)
+    gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    warp_comp_x = jnp.asarray(warp_x)[None, None, :] + remapped_flow[:, 0] * t
+    warp_comp_y = gy[None] + remapped_flow[:, 1] * t
+    flow_mag = jnp.sqrt(
+        remapped_flow[:, 0] ** 2 + remapped_flow[:, 1] ** 2
+    )
+    return warp_comp_x, warp_comp_y, t, flow_mag
+
+
 def render_lazy_novel_view(
     src,
     flow,
@@ -121,22 +142,20 @@ def render_lazy_novel_view(
     flow_mag (B, H, Wc))."""
     B, C, H, W = src.shape
     Wc = len(warp_x)
-    # 1. resample flow at the lazy warp columns — 1-D bicubic as matmul
-    S = jnp.asarray(_column_sample_matrix(W, tuple(np.round(warp_x, 6))))
-    remapped_flow = jnp.einsum(
-        "cw,bfhw->bfhc", S, flow, precision=_F32_PRECISION
-    )  # (B, 2, H, Wc)
-
-    t = jnp.asarray(1.0 - t_cols if invert_t else t_cols)  # (Wc,)
-    # 2. compose the full warp and sample the source. The lazy warp is
-    # identity + constant offset (warp_x[c] = c + delta exactly,
-    # TestRenderStereoPanorama.cpp:278-279), so after slicing the source
-    # at floor(delta) the residual displacement is frac(delta) + t*flow —
-    # bounded — and the static-window banded sampler applies.
-    gy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    warp_comp_x = jnp.asarray(warp_x)[None, None, :] + remapped_flow[:, 0] * t
-    warp_comp_y = gy[None] + remapped_flow[:, 1] * t
-    delta_i = int(np.floor(warp_x[0]))
+    warp_comp_x, warp_comp_y, t, flow_mag = _lazy_warp_compose(
+        flow, warp_x, t_cols, invert_t
+    )
+    # 2. sample the source. The lazy warp is identity + constant offset
+    # (warp_x[c] = c + delta exactly, TestRenderStereoPanorama.cpp:
+    # 278-279), so after slicing the source at floor(delta) the residual
+    # displacement is frac(delta) + t*flow — bounded — and the
+    # static-window banded sampler applies.
+    # slice margin: bicubic taps reach 2 px left of a sample, so slicing
+    # exactly at floor(warp_x[0]) silently dropped the left taps of the
+    # chunk's first column (t=0 there, so the sample sits fixed at
+    # frac(warp_x[0]) from the slice edge — a constant ~4e-2 error down
+    # every chunk seam, caught by tests/test_oracle_novel_view.py)
+    delta_i = int(np.floor(warp_x[0])) - 3
     if 0 < delta_i < W - Wc:
         src_al = src[..., delta_i:]
         halo_x = max(8, int(0.20 * src_al.shape[-1]))
@@ -182,9 +201,6 @@ def render_lazy_novel_view(
     # 3. pack (1 - t) into alpha; keep flow magnitude for the blend
     alpha = novel[:, 3] * (1.0 - t)[None, None, :]
     novel = jnp.concatenate([novel[:, :3], alpha[:, None]], axis=1)
-    flow_mag = jnp.sqrt(
-        remapped_flow[:, 0] ** 2 + remapped_flow[:, 1] ** 2
-    )
     return novel, flow_mag
 
 
@@ -248,21 +264,76 @@ def render_chunk_pair(
     warp_x_l / warp_x_r: (chunk_w,) HOST numpy column warps for left/right
     eye; t_cols: (chunk_w,) shifts. Not jitted itself — callers jit the
     surrounding pipeline and these fold in as compile-time constants.
-    Returns (chunk_left_eye, chunk_right_eye): (B, 4, H, chunk_w)."""
-    le_from_l, mag_ll = render_lazy_novel_view(
-        image_l, flow_r_to_l, warp_x_l, t_cols, invert_t=False
+    Returns (chunk_left_eye, chunk_right_eye): (B, 4, H, chunk_w).
+
+    The four source samplings ride ONE batched residual-sampler launch
+    (lead axis = render x pair) instead of four sequential ones: the
+    stage was latency-bound on grid-step count at preset scale (688 ms,
+    0.2 TF/s at 6k — BASELINE.md round-4 roofline), and one launch keeps
+    the double-buffered window DMA pipeline warm across all 4 x B leads.
+    The reference renders the 4 views independently
+    (NovelView.cpp:229-268) — same math, different schedule."""
+    B, C, H, W = image_l.shape
+    Wc = len(warp_x_l)
+    renders = (
+        (image_l, flow_r_to_l, warp_x_l, False),
+        (image_r, flow_l_to_r, warp_x_l, True),
+        (image_l, flow_r_to_l, warp_x_r, False),
+        (image_r, flow_l_to_r, warp_x_r, True),
     )
-    le_from_r, mag_lr = render_lazy_novel_view(
-        image_r, flow_l_to_r, warp_x_l, t_cols, invert_t=True
-    )
-    re_from_l, mag_rl = render_lazy_novel_view(
-        image_l, flow_r_to_l, warp_x_r, t_cols, invert_t=False
-    )
-    re_from_r, mag_rr = render_lazy_novel_view(
-        image_r, flow_l_to_r, warp_x_r, t_cols, invert_t=True
-    )
-    chunk_l = combine_lazy_views(le_from_l, le_from_r, mag_ll, mag_lr)
-    chunk_r = combine_lazy_views(re_from_l, re_from_r, mag_rl, mag_rr)
+    comps = [
+        _lazy_warp_compose(flow, wx, t_cols, inv)
+        for (_, flow, wx, inv) in renders
+    ]
+    # common slice offset (bicubic taps reach 2 px left of a sample)
+    delta_i = int(np.floor(min(warp_x_l[0], warp_x_r[0]))) - 3
+    if 0 < delta_i < W - Wc:
+        srcs = jnp.stack([img[..., delta_i:] for (img, *_ ) in renders])
+        xs = jnp.stack([c[0] - delta_i for c in comps])  # (4, B, H, Wc)
+        ys = jnp.stack([c[1] for c in comps])
+        src_w = srcs.shape[-1]
+        halo_x = max(8, int(0.20 * src_w))
+        halo_y = max(8, int(0.10 * H))
+        if halo_y > RESIDUAL_MIN_HALO_Y or halo_x > RESIDUAL_MIN_HALO_X:
+            novel4 = sample_displaced_residual(
+                srcs, xs, ys,
+                halo_y=halo_y,
+                halo_x=halo_x,
+                res_halo_y=min(halo_y, NOVEL_RESIDUAL_RHY),
+                res_halo_x=min(halo_x, NOVEL_RESIDUAL_RHX),
+                interpolation="bicubic",
+                border="constant",
+                tr=NOVEL_RESIDUAL_TR,
+                tc=NOVEL_RESIDUAL_TC,
+                group=32,
+            )
+        else:
+            novel4 = sample_displaced(
+                srcs, xs, ys,
+                halo_y=halo_y,
+                halo_x=halo_x,
+                interpolation="bicubic",
+                border="constant",
+                tr=8,
+                tc=128,
+                max_window_elems=64 * 1024 * 1024,
+            )
+        views = []
+        for i, (c, (_, _, _, inv)) in enumerate(zip(comps, renders)):
+            t = c[2]
+            alpha = novel4[i, :, 3] * (1.0 - t)[None, None, :]
+            views.append(
+                jnp.concatenate([novel4[i, :, :3], alpha[:, None]], axis=1)
+            )
+        mags = [c[3] for c in comps]
+    else:
+        views, mags = [], []
+        for (img, flow, wx, inv) in renders:
+            v, m = render_lazy_novel_view(img, flow, wx, t_cols, inv)
+            views.append(v)
+            mags.append(m)
+    chunk_l = combine_lazy_views(views[0], views[1], mags[0], mags[1])
+    chunk_r = combine_lazy_views(views[2], views[3], mags[2], mags[3])
     return chunk_l, chunk_r
 
 
