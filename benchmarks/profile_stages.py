@@ -46,15 +46,19 @@ def main():
     reps = int(os.environ.get("S360_PROF_REPS", "5"))
     full_sphere = os.environ.get("S360_PROF_FULL_SPHERE", "1") == "1"
     side_flow_scale = float(os.environ.get("S360_PROF_SIDE_FLOW_SCALE", "1.0"))
-    polar_flow_scale = float(os.environ.get("S360_PROF_POLAR_FLOW_SCALE", "0.5"))
+    polar_flow_scale = float(
+        os.environ.get("S360_PROF_POLAR_FLOW_SCALE", "0.25")
+    )  # matches the shipping RenderConfig default (round 5)
     eqr_h = eqr_w // 2
+
+    flow_alg = os.environ.get("S360_PROF_FLOW_ALG", "pixflow_tpu")
 
     rig = make_ring_rig().rescaled(cam_scale)
     cfg = RenderConfig(
         eqr_width=eqr_w,
         eqr_height=eqr_h,
-        side_flow_alg="pixflow_tpu",
-        polar_flow_alg="pixflow_tpu",
+        side_flow_alg=flow_alg,
+        polar_flow_alg=flow_alg,
         side_flow_scale=side_flow_scale,
         polar_flow_scale=polar_flow_scale,
         enable_top=full_sphere,
