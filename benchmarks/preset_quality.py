@@ -11,9 +11,10 @@ design, and the quality question is about geometry/flow/compositing.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/preset_quality.py
 Env: S360_PRESETS (default "3k,4k,6k,8k"), S360_PRESET_CAM_SCALE (1.0),
-     S360_POLAR_FLOW_SCALE (RenderConfig default 0.5) and
+     S360_POLAR_FLOW_SCALE (RenderConfig default, 0.25 since round 5) and
      S360_SIDE_FLOW_SCALE (preset default) for A/B-ing the flow-scale
-     knobs' quality cost at preset geometry.
+     knobs' quality cost at preset geometry; S360_PRESET_TEMPORAL=N (1)
+     chains N frames through the temporal prior and scores the last.
 
 Reference comparison anchor: the reference's own quality evidence is
 PSNR against shipped sample_result images (README.md:15-27); datasets
@@ -91,8 +92,20 @@ def main():
         )
         ctx = build_render_context(rig, cfg)
         render = make_jitted_renderer(ctx)
+        # S360_PRESET_TEMPORAL=N > 1 chains N frames through the temporal
+        # prior (static scene -> motion map ~0 -> the prior is maximally
+        # engaged) and scores the LAST frame: preset-scale evidence that
+        # the frame chain doesn't drift (single-frame numbers are
+        # priorless; the prior was previously asserted only at 64-140 px
+        # fixture scale, round-4 verdict Weak #4). Mirrors render_video's
+        # two-renderer pattern: frame 1 priorless, frames 2..N temporal.
+        n_chain = int(os.environ.get("S360_PRESET_TEMPORAL", "1"))
         try:
-            out = render(side, top, bottom, None)[0]
+            out, state = render(side, top, bottom, None)
+            if n_chain > 1:
+                render_t = make_jitted_renderer(ctx, use_temporal=True)
+                for _ in range(n_chain - 1):
+                    out, state = render_t(side, top, bottom, state)
             eqr = np.asarray(out["equirect"])
         except Exception as e:  # noqa: BLE001 - record OOM/compile failures
             rows.append(
@@ -122,7 +135,9 @@ def main():
             }
         )
         print(json.dumps(rows[-1]), flush=True)
-        del render, ctx, out
+        del render, ctx, out, state
+        if n_chain > 1:
+            del render_t
 
     print("\n| preset | eqr/eye | full L/R (dB) | band L | caps L | L-R |")
     print("|---|---|---|---|---|---|")
