@@ -188,12 +188,45 @@ def _make_kernel(
     # (threaded through fused_window_sample) wins; the module-global env
     # default is only the fallback — so an explicit
     # precision="bfloat16_3x" argument computes the same way on the
-    # Pallas and XLA backends
+    # Pallas and XLA backends. Mosaic only lowers DEFAULT and HIGHEST
+    # dots (Precision.HIGH raises NotImplementedError), so the 3-pass
+    # class is emulated manually below: split each f32 operand into bf16
+    # limbs hi + lo and accumulate hi*hi + lo*hi + hi*lo in f32 — three
+    # native single-pass MXU dots, ~1e-7 relative on image-range data at
+    # half HIGHEST's six passes (same arithmetic XLA emits for HIGH).
     prec = (
         None
         if compute_dtype == "bfloat16"
         else jax.lax.Precision(precision or _F32_PRECISION)
     )
+    emul3 = prec == jax.lax.Precision.HIGH
+
+    def _dot_rows(a, b, precision):
+        """(P, K) x (M, K) -> (P, M), contracting dim 1 of both."""
+        return jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    def _dot3(a, b):
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh_ = b.astype(jnp.bfloat16)
+        bl = (b - bh_.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (
+            _dot_rows(ah, bh_, None)
+            + _dot_rows(al, bh_, None)
+            + _dot_rows(ah, bl, None)
+        )
+
+    def contract(a, b):
+        """Precision-policy dot (P, K) x (M, K) -> (P, M)."""
+        if emul3:
+            return _dot3(a, b)
+        return _dot_rows(a, b, prec)
 
     def compute_one(x, y, sy, sx, wl, write):
         """One lead's samples: build the interpolation matrices, contract
@@ -219,13 +252,7 @@ def _make_kernel(
             # default lowers f32 matmuls to ONE bf16 MXU pass, which
             # round-4 measured as ~5e-3 sampling error on shipped
             # "exact" warps (projection / novel view)
-            tmp = jax.lax.dot_general(
-                ohx,
-                wm.reshape(C * bh, bw),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (Pg, C*bh)
+            tmp = contract(ohx, wm.reshape(C * bh, bw))  # (Pg, C*bh)
             for c in range(C):
                 write(
                     None, c,
@@ -242,15 +269,7 @@ def _make_kernel(
                 wr = pltpu.roll(wl[c], (-ox) % bw, 1) if ox else wl[c]
                 if compute_dtype == "bfloat16":
                     wr = wr.astype(jnp.bfloat16)
-                per_c.append(
-                    jax.lax.dot_general(
-                        ohx,
-                        wr,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )
-                )  # (Pg, bh)
+                per_c.append(contract(ohx, wr))  # (Pg, bh)
             tmps[ox] = per_c
         ohys = {
             oy: (pltpu.roll(ohy32, oy % bh, 1) if oy else ohy32)

@@ -26,8 +26,15 @@ from __future__ import annotations
 import os
 
 # value must be a jax.lax.Precision alias string; "float32" -> HIGHEST
-# (6-pass, bit-faithful), "bfloat16_3x"/"tensorfloat32" -> HIGH (3-pass)
-F32_PRECISION: str = os.environ.get("S360_F32_PRECISION", "float32")
+# (6-pass, bit-faithful), "bfloat16_3x"/"tensorfloat32" -> HIGH (3-pass).
+# Default is the 3-pass class (round 5): measured max abs sampling error
+# vs HIGHEST is 1.4e-5 on image-range data (~97 dB — far beyond the
+# 40 dB target) while the fused Pallas sampler runs 7.8x faster
+# (97.3 -> 12.4 ms on the parity microbench; Mosaic lowers HIGHEST
+# poorly, whereas the kernel's manual hi/lo bf16 limb emulation of HIGH
+# hits the native single-pass MXU path — BASELINE.md round-5).
+# S360_F32_PRECISION=float32 restores bit-faithful 6-pass everywhere.
+F32_PRECISION: str = os.environ.get("S360_F32_PRECISION", "bfloat16_3x")
 
 
 def resolve(precision):
