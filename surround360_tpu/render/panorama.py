@@ -972,12 +972,14 @@ def _finalize_outputs(
 
 
 # Above this equirect width the whole-frame program is rendered in
-# sequential jitted stages: the fused 6k monolith exhausts HBM (stage
-# window stacks + panorama buffers all live at once) while every stage
-# fits comfortably on its own, and at multi-second frame times the few
-# extra ~40 ms dispatches are free. Mirrors the reference's own staged
-# structure (renderStereoPanorama's thread phases).
-STAGED_RENDER_MIN_EQR_W = 4000
+# sequential jitted stages: when the staging threshold was set (round 2)
+# the fused 6k monolith exhausted HBM (stage window stacks + panorama
+# buffers all live at once) while every stage fits alone. The sliced /
+# windowed samplers have since shrunk the transients — the round-5
+# profiler runs the 6k monolith fine — so the threshold is env-tunable
+# for measurement (S360_STAGED_MIN_EQR_W). Mirrors the reference's own
+# staged structure (renderStereoPanorama's thread phases).
+STAGED_RENDER_MIN_EQR_W = int(os.environ.get("S360_STAGED_MIN_EQR_W", "4000"))
 
 
 def make_jitted_renderer(
