@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -472,6 +474,21 @@ def fused_window_sample(
     )
     T = xt.shape[0]
     O = None if offsets is None else len(offsets)
+    if os.environ.get("S360_LOG_FUSED") == "1":
+        # trace-time grid economics: per-step dot is (P/group, bw) x
+        # (C*bh, bw) — log it so stage tuning can see step counts and
+        # shapes without reading Mosaic dumps
+        import sys as _sys
+
+        print(
+            f"# fused_window_sample T={T} L={L} G={group} "
+            f"steps={T * group if lead_folded else T * L * group} "
+            f"folded={lead_folded} C={C} bh={bh} bw={bw} "
+            f"Pg={P // group} interp={interpolation} "
+            f"dtype={compute_dtype} off={None if O is None else O}",
+            file=_sys.stderr,
+            flush=True,
+        )
     if lead_folded:
         out_dims = (T, L, C, P) if O is None else (T, L, O, C, P)
         blk = (1, L, C, P) if O is None else (1, L, O, C, P)
