@@ -479,13 +479,20 @@ def fused_window_sample(
         # (C*bh, bw) — log it so stage tuning can see step counts and
         # shapes without reading Mosaic dumps
         import sys as _sys
+        import traceback as _tb
 
+        caller = "?"
+        for f in reversed(_tb.extract_stack()[:-1]):
+            if "surround360_tpu" in f.filename and "/ops/" not in f.filename:
+                caller = f"{f.filename.rsplit('/', 1)[-1]}:{f.lineno}"
+                break
         print(
             f"# fused_window_sample T={T} L={L} G={group} "
             f"steps={T * group if lead_folded else T * L * group} "
             f"folded={lead_folded} C={C} bh={bh} bw={bw} "
             f"Pg={P // group} interp={interpolation} "
-            f"dtype={compute_dtype} off={None if O is None else O}",
+            f"dtype={compute_dtype} off={None if O is None else O} "
+            f"from={caller}",
             file=_sys.stderr,
             flush=True,
         )
