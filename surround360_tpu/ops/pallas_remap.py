@@ -68,7 +68,7 @@ _VMEM_HW_LIMIT = 110 * 1024 * 1024
 
 def _step_vmem_bytes(
     C, P, bh, bw, L=1, group=1, compute_dtype="float32",
-    n_offsets=1, n_ox=1, lead_folded=False,
+    n_offsets=1, n_ox=1, lead_folded=False, tight_x=False,
 ):
     Pg = -(-P // group)
     dt = 2 if compute_dtype == "bfloat16" else 4
@@ -78,6 +78,8 @@ def _step_vmem_bytes(
     else:
         win = 2 * C * bh * bw * 4  # double-buffered, DMA'd at source dtype
         blocks = 2 * (2 * P * 4) + 2 * (n_offsets * C * P * 4)
+    if tight_x:
+        win += C * bh * bw * 4  # residual-rolled f32 window copy
     onehots = Pg * (bh + bw) * dt
     # f32 transient of the distance-kernel build before the cast
     onehots += Pg * max(bh, bw) * 4
@@ -87,12 +89,12 @@ def _step_vmem_bytes(
 
 def pallas_window_supported(
     C, P, bh, bw, L=1, group=1, compute_dtype="float32",
-    n_offsets=1, n_ox=1, lead_folded=False,
+    n_offsets=1, n_ox=1, lead_folded=False, tight_x=False,
 ) -> bool:
     return (
         _step_vmem_bytes(
             C, P, bh, bw, L, group, compute_dtype, n_offsets, n_ox,
-            lead_folded,
+            lead_folded, tight_x,
         )
         <= _VMEM_BUDGET
     )
@@ -124,8 +126,30 @@ def _make_kernel(
     a = -0.75
     Pg = P // G
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    # tight-x (offsets is None, bwb = the EXACT logical window width):
+    # sx_ref holds ACTUAL window origins; the kernel quantizes DOWN to
+    # the 128-lane tiling for the DMA, lane-rolls the fetched window by
+    # the residual, and builds the x interpolation matrix at the TIGHT
+    # padded width anchored at the actual origin, with columns >= bwb
+    # weight-masked (the roll wraps the fetch tail around — without the
+    # mask a beyond-halo tap could read a wrapped pixel instead of the
+    # contract's zero). The (Pg, b) matrix build is the kernel's VPU
+    # bottleneck (round-5 measurement: step time scales linearly with
+    # Pg*(bh+bw) across tile geometries), and the alignment slack alone
+    # inflated b by up to 127 lanes — 384 vs a 149-wide logical window at
+    # the 6k novel view. The roll costs C*bh*bw one-move ops per window,
+    # ~25x less than the slack's matrix-build cost at Pg=512.
+    tight_x = offsets is None and bwb is not None
+    x_hi = 0
     if offsets is None:
-        bhb, bwb = bh, bw
+        bhb = bh
+        if tight_x:
+            x_hi = bwb  # exact width: mask wrapped columns beyond it
+            bwb = -(-bwb // 128) * 128
+            if x_hi == bwb:
+                x_hi = 0  # lane-aligned already; the mask is a no-op
+        else:
+            bwb = bw
 
     def k01(s):
         return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
@@ -150,13 +174,15 @@ def _make_kernel(
     #  * "clamp" + bicubic is NOT coordinate-clampable (taps stack on the
     #    border pixel with a different weight profile), so that combo
     #    keeps the per-tap masked build below.
-    def onehot(xp, origin, pad, n, b, edge_mask=0):
+    def onehot(xp, origin, pad, n, b, edge_mask=0, hi_mask=0):
         """(Pg, b) interpolation matrix in compute dtype. xp: (Pg,) coords
         in PADDED units; origin: scalar window start in padded coords.
         edge_mask > 0 zeroes the outer bands [0, edge_mask) and
         [b - edge_mask, b) — in offsets mode legitimate (within-halo)
         taps never land there, so the mask only drops beyond-halo weights
-        that lane rolls would otherwise wrap around."""
+        that lane rolls would otherwise wrap around. hi_mask > 0 zeroes
+        columns >= hi_mask (tight-x: the residual-rolled window wraps the
+        fetch tail into [hi_mask, b), which must stay weightless)."""
         if border == "clamp" and interpolation == "bilinear":
             xp = jnp.clip(xp - pad, 0.0, n - 1.0) + pad
         local = xp - origin.astype(jnp.float32)
@@ -170,6 +196,8 @@ def _make_kernel(
                 w = jnp.maximum(1.0 - s, 0.0)
             if edge_mask:
                 w = w * ((grid >= edge_mask) & (grid < b - edge_mask))
+            if hi_mask:
+                w = w * (grid < hi_mask)
             return w.astype(cdt)
         # bicubic + clamp: per-tap masked accumulation (exact reference
         # semantics; not on any hot path)
@@ -184,6 +212,8 @@ def _make_kernel(
             idx_abs = idx + origin - pad
             idx = jnp.clip(idx_abs, 0, n - 1) + pad - origin
             acc = acc + ((grid == idx[:, None]) * w[:, None]).astype(cdt)
+        if hi_mask:
+            acc = acc * (grid < hi_mask).astype(cdt)
         return acc
 
     # f32 contraction passes: the caller's RESOLVED per-call precision
@@ -230,14 +260,15 @@ def _make_kernel(
             return _dot3(a, b)
         return _dot_rows(a, b, prec)
 
-    def compute_one(x, y, sy, sx, wl, write):
+    def compute_one(x, y, sy, sx, wl, write, rx=None):
         """One lead's samples: build the interpolation matrices, contract
         against this lead's window value wl (C, bh, bw), hand each output
-        row to ``write(o_or_None, c, values)``."""
+        row to ``write(o_or_None, c, values)``. rx: tight-x lane residual
+        (actual - quantized origin); sx is then the ACTUAL origin."""
         from jax.experimental.pallas import tpu as pltpu
 
         if offsets is None:
-            ohx = onehot(x, sx, pad_x, n_x, bw)
+            ohx = onehot(x, sx, pad_x, n_x, bwb, hi_mask=x_hi)
             ohy = onehot(y, sy, pad_y, n_y, bh)
         else:
             # full-width matrices shared by every offset (see header)
@@ -245,16 +276,22 @@ def _make_kernel(
             ohy = onehot(y, sy, pad_y, n_y, bh, edge_mask=off_my)
         ohy32 = ohy.astype(jnp.float32)
         if offsets is None:
-            wm = wl
+            wm = wl.reshape(C * bh, bw)
+            if rx is not None:
+                # align the window to the actual origin: rolled[:, j] =
+                # win[:, j + rx], then contract only the tight width —
+                # both the matrix build above and the dot below shrink
+                # from the fetch width to bwb
+                wm = pltpu.roll(wm, (bw - rx) % bw, 1)[:, :bwb]
             if compute_dtype == "bfloat16":
                 wm = wm.astype(jnp.bfloat16)
-            # one dot for ALL channels: (Pg, bw) x (C*bh, bw)^T ->
+            # one dot for ALL channels: (Pg, bwb) x (C*bh, bwb)^T ->
             # (Pg, C*bh) (bigger MXU tiles than C sequential dots).
             # f32 mode must ask for multi-pass explicitly: Mosaic's
             # default lowers f32 matmuls to ONE bf16 MXU pass, which
             # round-4 measured as ~5e-3 sampling error on shipped
             # "exact" warps (projection / novel view)
-            tmp = contract(ohx, wm.reshape(C * bh, bw))  # (Pg, C*bh)
+            tmp = contract(ohx, wm)  # (Pg, C*bh)
             for c in range(C):
                 write(
                     None, c,
@@ -297,12 +334,18 @@ def _make_kernel(
         t = pl.program_id(0)
         g = pl.program_id(1)
         sy = pl.multiple_of(sy_ref[t], 8)
-        sx = pl.multiple_of(sx_ref[t], 128)
+        sx = sx_ref[t]
+        rx = None
+        if tight_x:
+            sxq = pl.multiple_of((sx // 128) * 128, 128)
+            rx = sx - sxq
+        else:
+            sx = sxq = pl.multiple_of(sx, 128)
 
         @pl.when(g == 0)
         def _():
             copy = pltpu.make_async_copy(
-                padded_ref.at[:, :, pl.ds(sy, bh), pl.ds(sx, bw)],
+                padded_ref.at[:, :, pl.ds(sy, bh), pl.ds(sxq, bw)],
                 win,
                 sem,
             )
@@ -321,7 +364,7 @@ def _make_kernel(
                 else:
                     out_ref[0, l, o, c, pl.ds(g * Pg, Pg)] = vals
 
-            compute_one(x, y, sy, sx, win[l], write)
+            compute_one(x, y, sy, sx, win[l], write, rx=rx)
             return 0
 
         jax.lax.fori_loop(0, L, body, 0)
@@ -340,12 +383,16 @@ def _make_kernel(
         n_wins = pl.num_programs(0) * L
 
         def dma(jj, slot):
-            # origins are pre-quantized to the (8, 128) memref tiling — the
+            # origins are pre-quantized to the (8, 128) memref tiling
+            # (tight-x: x quantized HERE from the actual origin) — the
             # hint lets Mosaic prove the DMA slice is tile-aligned. They
             # ride SMEM flattened to 1-D: 2-D SMEM operands are lane-padded
             # to 128 and (T, L) would blow the 1 MB SMEM budget.
             sy = pl.multiple_of(sy_ref[jj], 8)
-            sx = pl.multiple_of(sx_ref[jj], 128)
+            sxv = sx_ref[jj]
+            if tight_x:
+                sxv = (sxv // 128) * 128
+            sx = pl.multiple_of(sxv, 128)
             lj = jj % L if L > 1 else 0
             return pltpu.make_async_copy(
                 padded_ref.at[lj, :, pl.ds(sy, bh), pl.ds(sx, bw)],
@@ -366,7 +413,12 @@ def _make_kernel(
                 dma(j + 1, (j + 1) % 2).start()
 
         sy = pl.multiple_of(sy_ref[j], 8)
-        sx = pl.multiple_of(sx_ref[j], 128)
+        sx = sx_ref[j]
+        rx = None
+        if tight_x:
+            rx = sx - (sx // 128) * 128
+        else:
+            sx = pl.multiple_of(sx, 128)
         # coords arrive in padded units; onehot localizes to the window
         # (base region starts at the offset margin in offsets mode). The
         # group's slice start g*Pg is lane-aligned (Pg multiple of 128).
@@ -383,7 +435,7 @@ def _make_kernel(
             else:
                 out_ref[0, 0, o, c, pl.ds(g * Pg, Pg)] = vals
 
-        compute_one(x, y, sy, sx, win[j % 2], write)
+        compute_one(x, y, sy, sx, win[j % 2], write, rx=rx)
 
     return kernel, kernel_folded
 
@@ -453,6 +505,16 @@ def fused_window_sample(
     then the FETCHED window extents; base_bh/base_bw the one-hot extents
     and off_my/off_mx the margins (bh >= base_bh + 2*off_my etc.).
 
+    Tight-x (offsets is None, base_bw < bw): sx holds ACTUAL (unaligned)
+    per-(tile, lead) origins; the kernel quantizes them down to the
+    128-lane tiling for the DMA, lane-rolls the fetched window by the
+    residual, and builds the x interpolation matrix at width base_bw
+    anchored at the actual origin. bw stays the fetch extent and must be
+    >= pad128(base_bw + 127) so the rolled tight span is always covered.
+    The matrix build is the measured per-step VPU bound, so shedding the
+    alignment slack (up to 127 lanes) is the difference between a 384-
+    and a 256-wide build at the 6k novel-view geometry.
+
     lead_folded: origins are PER-TILE (sy/sx of length T, shared by every
     lead) and the whole (L, C, bh, bw) window rides one DMA per tile with
     the lead loop unrolled inside the grid step — T*G steps instead of
@@ -464,6 +526,9 @@ def fused_window_sample(
     L, C, Hp, Wp = padded.shape
     P = xt.shape[-1]
     assert P % group == 0 and (P // group) % 128 == 0, (P, group)
+    assert offsets is not None or base_bw is None or base_bw + 127 <= bw, (
+        "tight-x fetch must cover the rolled tight span", base_bw, bw
+    )
     assert not (lead_folded and tile_map is not None), (
         "tile_map rides the non-folded grid's scalar-prefetch channel"
     )

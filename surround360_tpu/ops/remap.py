@@ -250,11 +250,16 @@ def _plan_static_tiles(coords_np, H, W, tr, tc, pad_taps):
         return b.max(axis=0).reshape(-1)  # (T,) max over warps
 
     sy, bh = axis(v[:, 1], H, 8)  # (N, nty, ntx)
-    sx, bw = axis(v[:, 0], W, 128)
+    # x-axis: UNALIGNED origins + the exact max span (tight-x mode — the
+    # kernel quantizes for the DMA and residual-rolls the window, so the
+    # per-step interpolation-matrix build pays bw_t lanes, not the
+    # up-to-127-lane alignment slack the old aligned plan folded into bw)
+    sx, bw_t = axis(v[:, 0], W, 1)
+    bw = -(-(bw_t + 127) // 128) * 128  # fetch extent covering the roll
     bh_t = axis_pertile(v[:, 1], H, 8)  # (T,) per-tile row extent
     sy = sy.reshape(N, -1).T.copy()  # (T, N)
     sx = sx.reshape(N, -1).T.copy()
-    return sy, sx, bh, bw, nty, ntx, bh_t
+    return sy, sx, bh, bw, bw_t, nty, ntx, bh_t
 
 
 def _remap_static_pallas(
@@ -270,15 +275,16 @@ def _remap_static_pallas(
     N, C, H, W = imgs.shape
     _, _, Ho, Wo = coords_np.shape
     pad_taps = 3 if interpolation == "bicubic" else 1
-    sy, sx, bh, bw, nty, ntx, bh_t = _plan_static_tiles(
+    sy, sx, bh, bw, bw_t, nty, ntx, bh_t = _plan_static_tiles(
         coords_np, H, W, tr, tc, pad_taps
     )
     P = tr * tc
-    if not pallas_window_supported(C, P, bh, bw, N):
+    if not pallas_window_supported(C, P, bh, bw, N, tight_x=True):
         return None
-    # pad so every aligned origin's window is in bounds
+    # pad so every aligned origin's window is in bounds (x origins are
+    # unaligned; the kernel DMAs from their 128-quantized floor)
     pad_y = max(0, int(sy.max()) + bh - H)
-    pad_x = max(0, int(sx.max()) + bw - W)
+    pad_x = max(0, int((sx // 128 * 128).max()) + bw - W)
     padded = jnp.pad(imgs, [(0, 0), (0, 0), (0, pad_y), (0, pad_x)])
 
     co = coords_dev if coords_dev is not None else jnp.asarray(
@@ -338,6 +344,7 @@ def _remap_static_pallas(
                 n_x=W,
                 interpolation=interpolation,
                 border=border,
+                base_bw=bw_t,
                 tile_map=None
                 if idx.size == T
                 else tuple(int(i) for i in idx),

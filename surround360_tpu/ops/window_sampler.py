@@ -682,7 +682,9 @@ def sample_displaced_residual(
         for g_try in range(1, max(1, Pt_k // 128) + 1):
             if Pt_k % g_try or (Pt_k // g_try) % 128:
                 continue
-            if pallas_window_supported(C, Pt_k, bh_k, bw_k, L, g_try):
+            if pallas_window_supported(
+                C, Pt_k, bh_k, bw_k, L, g_try, tight_x=True
+            ):
                 grp = g_try
                 break
         if backend == "pallas" or (
@@ -695,7 +697,10 @@ def sample_displaced_residual(
             out = fused_window_sample(
                 padded_k,
                 (s_y // 8) * 8,
-                (s_x // 128) * 128,
+                s_x,  # ACTUAL x origins: the kernel quantizes for the
+                # DMA and residual-rolls the window (tight-x mode), so
+                # the interpolation-matrix build pays p.bw lanes instead
+                # of the up-to-127-lane alignment slack
                 xt + float(P_x),
                 yt + float(P_y),
                 bh=bh_k,
@@ -708,6 +713,7 @@ def sample_displaced_residual(
                 border=border,
                 group=max(grp, 1),
                 precision=precision,
+                base_bw=p.bw,
             )  # (T, L, C, P)
             out = out.reshape((p.nty, p.ntx, L * C, p.tr, p.tc))
             out = out.transpose((2, 0, 3, 1, 4))
@@ -984,8 +990,16 @@ def make_window_sampler(
     tiles = np.arange(T)
     sy = ((tiles // p.ntx) * p.tr).astype(np.int32)
     sx_raw = ((tiles % p.ntx) * p.tc).astype(np.int32)
-    sx = (sx_raw // 128) * 128
-    padx2 = max(0, int(sx.max()) + bw_k - (W + pad_x_t))
+    # tight-x (non-offsets, unaligned tile columns): hand the kernel the
+    # ACTUAL origins — it quantizes for the DMA and residual-rolls the
+    # window, so the interpolation-matrix build pays p.bw lanes instead
+    # of the alignment slack baked into bw_k. Aligned tile columns have
+    # no slack to shed; keep the plain path there.
+    tight = offsets is None and bool(np.any(sx_raw % 128))
+    sx = sx_raw if tight else (sx_raw // 128) * 128
+    padx2 = max(
+        0, int((sx // 128 * 128).max()) + bw_k - (W + pad_x_t)
+    )
     padded = jnp.pad(
         img,
         [(0, 0)] * nl + [(pad_y_t, pady2), (pad_x_t, padx2)],
@@ -1026,7 +1040,9 @@ def make_window_sampler(
             bh=bh_k, bw=bw_k, pad_y=pad_y_t, pad_x=pad_x_t,
             n_y=H, n_x=W, interpolation=interpolation, border=border,
             group=G, compute_dtype=compute_dtype,
-            offsets=offsets, base_bh=p.bh, base_bw=p.bw,
+            offsets=offsets,
+            base_bh=p.bh if offsets is not None else None,
+            base_bw=p.bw if (offsets is not None or tight) else None,
             off_my=my, off_mx=mx, lead_folded=True,
             precision=precision if compute_dtype == "float32" else None,
         )  # (T, B, C, P) or (T, B, O, C, P)

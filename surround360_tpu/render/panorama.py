@@ -276,6 +276,12 @@ RESIDUAL_SAMPLER_MIN_EQR_W = 3000
 # NOVEL_RESIDUAL_* knobs: window cols pad to a 128 multiple).
 _POLE_WARP_TR = int(os.environ.get("S360_POLE_WARP_TR", "8"))
 _POLE_WARP_TC = int(os.environ.get("S360_POLE_WARP_TC", "128"))
+# residual-halo scale for the pole warp windows: the default halos
+# (rows_f//32 in y, eqr_w//256 in x) cover the within-tile displacement
+# spread at tr=8/tc=128; larger tiles see more of the phi-ramp slope and
+# need proportionally more (quality gate: the 6k preset PSNR table)
+_POLE_WARP_RHY_SCALE = float(os.environ.get("S360_POLE_WARP_RHY_SCALE", "1.0"))
+_POLE_WARP_RHX_SCALE = float(os.environ.get("S360_POLE_WARP_RHX_SCALE", "1.0"))
 
 
 def _banded_chunk_rows(h_out: int) -> int:
@@ -583,8 +589,8 @@ def _pole_flow_core(ctx: RenderContext, side_pano, fish, prev, use_temporal):
             gy[None] + disp_y,
             halo_y=halo_y,
             halo_x=halo_x,
-            res_halo_y=max(24, rows_f // 32),
-            res_halo_x=max(16, eqr_w // 256),
+            res_halo_y=int(_POLE_WARP_RHY_SCALE * max(24, rows_f // 32)),
+            res_halo_x=int(_POLE_WARP_RHX_SCALE * max(16, eqr_w // 256)),
             interpolation="bicubic",
             border="constant",
             tr=_POLE_WARP_TR,

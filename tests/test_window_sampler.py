@@ -345,6 +345,46 @@ class TestStaticBandedRemap:
                 np.asarray(banded[i]), np.asarray(dense), atol=3e-5
             )
 
+    def test_static_pallas_tight_x_matches_dense(self):
+        """The fused static-remap path (TPU production projection route)
+        in interpret mode must equal dense remaps — exercises tight-x:
+        host-planned UNALIGNED window origins, kernel-side quantization,
+        the residual lane-roll and the wrapped-column weight mask."""
+        import jax.numpy as jnp
+
+        from surround360_tpu.geometry.rig import make_ring_rig
+        from surround360_tpu.ops.remap import _remap_static_pallas, remap
+        from surround360_tpu.ops.warp import rig_fov, side_cam_spherical_warp
+
+        rig = make_ring_rig().rescaled(0.125)
+        sides = rig.side_cameras[:3]
+        h_rad = 2.0 * rig_fov(rig.side_cameras, False)
+        v_rad = 2.0 * rig_fov(rig.side_cameras, True)
+        warps = np.stack(
+            [
+                side_cam_spherical_warp(
+                    cam, i, len(rig.side_cameras), (280, 140), h_rad, v_rad
+                )[0]
+                for i, cam in enumerate(sides)
+            ]
+        )
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (len(sides), 4, 128, 128)).astype(np.float32)
+        )
+        out = _remap_static_pallas(
+            imgs, warps, "bicubic", "constant", 16, 128, None
+        )
+        assert out is not None, "planned windows must fit the VMEM budget"
+        for i in range(len(sides)):
+            dense = remap(
+                imgs[i], jnp.asarray(warps[i]), interpolation="bicubic",
+                border="constant", method="gather",
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(dense), atol=3e-5
+            )
+
     def test_device_coords_match_host_coords(self):
         """Passing the warp as a traced device array (coords_dev) must be
         bit-identical to the host-constant path — it is the same math with
