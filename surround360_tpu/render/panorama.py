@@ -573,8 +573,41 @@ def _pole_flow_core(ctx: RenderContext, side_pano, fish, prev, use_temporal):
     # the round-1 frame at >=2016-wide
     halo_y = max(16, int(0.25 * rows_f))
     halo_x = max(16, int(0.02 * eqr_w))
-    disp_x = jnp.clip(warp_scale * flow[:, 0], -halo_x, halo_x)
-    disp_y = jnp.clip(warp_scale * flow[:, 1], -halo_y, halo_y)
+    # only the ramp band needs resampling: warp_scale == 0 below
+    # phi_ramp_start (the clipped displacement is exactly zero and
+    # bicubic at integer coords is the identity — rows copy through),
+    # and ramp_alpha == 0 at/beyond phi_ramp_end (the composite drops
+    # those rows regardless of their rgb, up to the deghost blend's
+    # ~5e-5 zero-alpha leak). At the 6k ring geometry the band is ~21%
+    # of rows_f: the warp was ~60% of the pole composite's cost
+    # (round-5 roofline pole_warp_blend 371 ms/pole).
+    pr_deg = g["pole_radius_deg"]
+    r0 = int(np.floor(rows_f * g["phi_ramp_start"] / pr_deg - 0.5))
+    r0 = max(0, min(rows_f, r0))
+    r1 = int(np.ceil(rows_f * g["phi_ramp_end"] / pr_deg + 0.5)) + 1
+    r1 = max(min(rows_f, r1), min(rows_f, r0 + 8))
+    band = slice(r0, r1)
+    disp_x = jnp.clip(
+        warp_scale[..., band, :] * flow[:, 0, band], -halo_x, halo_x
+    )
+    disp_y = jnp.clip(
+        warp_scale[..., band, :] * flow[:, 1, band], -halo_y, halo_y
+    )
+    # Both samplers assume output row i maps near SOURCE row i (static
+    # windows sit at t*tr; residual origins clamp their mean-displacement
+    # follow to +-halo_y), so a band of outputs must come with a matching
+    # band of source rows: slice the source to the band's tap reach
+    # (clipped |disp_y| + bicubic margin) and rebase the y coords into the
+    # slice. The constant rebase offset r0 - s0 <= halo_y + 3 rides on top
+    # of the displacement bound, hence halo_y_eff. Real pixels are never
+    # lost to the slice edge: taps reach at most pad_b beyond the band,
+    # and where s0/s1 clamp, the slice edge IS the image edge.
+    pad_b = halo_y + 3
+    s0 = max(0, r0 - pad_b)
+    s1 = min(rows_f, r1 + pad_b)
+    src_band = ext_fish[..., s0:s1, :]
+    halo_y_eff = halo_y + (r0 - s0)
+    gx_b, gy_b = gx[band], gy[band] - float(s0)
     if eqr_w >= RESIDUAL_SAMPLER_MIN_EQR_W:
         # preset scale: displacement-following windows. The global halos
         # above reach 25% of the strip height, which the static sampler
@@ -583,11 +616,11 @@ def _pole_flow_core(ctx: RenderContext, side_pano, fish, prev, use_temporal):
         # monotone phi ramp), so per-tile window origins track it and the
         # residual halos cover only the within-tile spread (ramp slope
         # ~rows_f/ramp_rows * halo over 8 rows, plus local flow texture).
-        warped_ext = sample_displaced_residual(
-            ext_fish,
-            gx[None] + disp_x,
-            gy[None] + disp_y,
-            halo_y=halo_y,
+        warped_band = sample_displaced_residual(
+            src_band,
+            gx_b[None] + disp_x,
+            gy_b[None] + disp_y,
+            halo_y=halo_y_eff,
             halo_x=halo_x,
             res_halo_y=int(_POLE_WARP_RHY_SCALE * max(24, rows_f // 32)),
             res_halo_x=int(_POLE_WARP_RHX_SCALE * max(16, eqr_w // 256)),
@@ -598,11 +631,11 @@ def _pole_flow_core(ctx: RenderContext, side_pano, fish, prev, use_temporal):
             group=64,
         )
     else:
-        warped_ext = sample_displaced(
-            ext_fish,
-            gx[None] + disp_x,
-            gy[None] + disp_y,
-            halo_y=halo_y,
+        warped_band = sample_displaced(
+            src_band,
+            gx_b[None] + disp_x,
+            gy_b[None] + disp_y,
+            halo_y=halo_y_eff,
             halo_x=halo_x,
             interpolation="bicubic",
             border="constant",
@@ -613,6 +646,14 @@ def _pole_flow_core(ctx: RenderContext, side_pano, fish, prev, use_temporal):
             # transients stay bounded (3k OOM'd at 34G without this)
             max_window_elems=64 * 1024 * 1024,
         )
+    warped_ext = jnp.concatenate(
+        [
+            ext_fish[..., :r0, :],  # identity region: exact copy
+            warped_band,
+            jnp.zeros_like(ext_fish[..., r1:, :]),  # zero-alpha region
+        ],
+        axis=-2,
+    )
 
     # fold the right extension back onto the left edge
     # (TestRenderStereoPanorama.cpp:505-524)
